@@ -1,0 +1,2 @@
+from .knn import knn, pairwise_sqdist  # noqa: F401
+from .edge import gather_neighbors, edge_features  # noqa: F401
