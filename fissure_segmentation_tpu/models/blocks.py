@@ -1,0 +1,52 @@
+"""Shared building blocks for point-cloud networks.
+
+Channel-last counterparts of the reference's ConvBlock/SharedFullyConnected
+(models/dgcnn.py:282-343) and MLPBlock (models/point_net.py:11-30): a 1x1
+"conv" over points is a plain Dense on the last axis, which XLA maps straight
+onto the MXU with no layout shuffling.
+
+BatchNorm matches torch defaults (momentum 0.1 -> flax momentum 0.9,
+eps 1e-5); Dense layers use xavier-normal init / zero bias like the
+reference's init_weights (utils/model_utils.py:11-15).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+xavier_normal = nn.initializers.xavier_normal()
+
+
+class SharedMLP(nn.Module):
+    """Dense (+ BatchNorm + LeakyReLU) applied point-wise.
+
+    `last_layer=True` disables norm + activation and enables bias
+    (reference SharedFullyConnected, dgcnn.py:318-324).
+    """
+    features: int
+    negative_slope: float = 0.2
+    last_layer: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Dense(self.features, use_bias=self.last_layer, kernel_init=xavier_normal)(x)
+        if not self.last_layer:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                             axis_name=None)(x)
+            x = nn.leaky_relu(x, self.negative_slope)
+        return x
+
+
+class MLPStack(nn.Module):
+    """A stack of SharedMLPs (reference MLPBlock, point_net.py:11-30 uses
+    slope 0.01; DGCNN stacks use 0.2)."""
+    features: Sequence[int]
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for f in self.features:
+            x = SharedMLP(f, negative_slope=self.negative_slope)(x, train)
+        return x

@@ -1,0 +1,134 @@
+"""DPSR-Net: end-to-end point segmentation -> differentiable surface mesh.
+
+TPU-native counterpart of reference models/seg_logits_to_mesh.py:14-116
+(`DPSRNet2` + `SoftMesh`, the paper's main variant): per-class softmax scores
+are splatted to a grid (DiVRoC -> ops/splat.splat_grid_sample), a normal
+field is approximated by Gaussian derivatives of that grid, the spectral
+Poisson solver produces an indicator field, and a differentiable iso-surface
+extraction yields the mesh (marching tetrahedra with exact autodiff instead
+of the reference's pytorch3d-MC + "-normals" backward approximation).
+
+Conventions: the splatted grid is (D, H, W) indexed zyx; the normal-field
+channel d is the Gaussian derivative along grid dim d, and points passed to
+the spectral solver are given zyx in [0, 1] so channel/dim/coordinate order
+all agree. NOTE: the reference transposes the grid and then computes
+"grad_x" along what is the z axis (seg_logits_to_mesh.py:95-104) — an
+apparent x/z component swap of the normal field; we implement the
+mathematically consistent version.
+
+Output is fixed-shape: (seg_logits (B, N, C),
+surface_samples (B, C-1, n_surface_samples, 3) xyz grid coords,
+sample_valid (B, C-1, n_surface_samples)).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.dpsr import spectral_psr
+from ..ops.marching import marching_tetrahedra, sample_points_on_triangles
+from ..ops.splat import splat_grid_sample
+from ..utils.filters import gaussian_differentiation
+from .access_models import get_point_seg_model_class
+
+
+def soft_mesh_surface_samples(seg_logits: jnp.ndarray, coords: jnp.ndarray,
+                              rng: jax.Array, res=(128, 128, 128),
+                              normals_smoothing_sigma: float = 10.0,
+                              dpsr_sigma: float = 10.0, dpsr_scale: bool = True,
+                              dpsr_shift: bool = True, max_tris: int = 100_000,
+                              n_surface_samples: int = 2048,
+                              exclude_background: bool = True):
+    """SoftMesh (seg_logits_to_mesh.py:57-116), returning surface point
+    samples per (batch, class) instead of dynamic Meshes objects.
+
+    :param seg_logits: (B, N, C) raw logits
+    :param coords: (B, N, 3) xyz grid coords in [-1, 1]
+    :return: (samples (B, C', S, 3) xyz grid coords, valid (B, C', S),
+              psr grids (B, C', *res))
+    """
+    b, n, c = seg_logits.shape
+    probs = jax.nn.softmax(seg_logits, axis=-1)
+    if exclude_background:
+        probs = probs[..., 1:]
+        c -= 1
+
+    coords = jnp.clip(coords, -1.0, 1.0)
+    # splat per-class scores: (B, C', D, H, W)
+    seg_grid = splat_grid_sample(probs, coords, tuple(res))
+
+    # normal field: channel d = d/d(grid dim d); sigma=10, truncate=1.5,
+    # constant padding (seg_logits_to_mesh.py:99-104)
+    grads = [gaussian_differentiation(seg_grid, normals_smoothing_sigma,
+                                      order=1, dim=d, padding_mode="constant",
+                                      truncate=1.5)
+             for d in range(3)]
+    normals = jnp.stack(grads, axis=2)                  # (B, C', 3, D, H, W)
+    normals = normals.reshape(b * c, 3, *res)
+
+    # points for the shift normalization: zyx in [0, 1]
+    v_zyx = (coords[..., ::-1] + 1.0) / 2.0
+    v_rep = jnp.repeat(v_zyx, c, axis=0)                # (B*C', N, 3)
+    psr = spectral_psr(v_rep, normals, tuple(res), dpsr_sigma,
+                       scale=dpsr_scale, shift=dpsr_shift)  # (B*C', *res)
+
+    def extract(phi, key):
+        tris, valid, _ = marching_tetrahedra(phi, max_tris=max_tris)
+        pts = sample_points_on_triangles(key, tris, valid, n_surface_samples)
+        has_surface = valid.any()
+        return pts, jnp.broadcast_to(has_surface, (n_surface_samples,))
+
+    keys = jax.random.split(rng, b * c)
+    pts, valid = jax.lax.map(lambda args: extract(*args), (psr, keys))
+    # voxel zyx -> grid xyz coords
+    sz = jnp.asarray(res, jnp.float32) - 1
+    pts = (pts / sz) * 2.0 - 1.0
+    pts = pts[..., ::-1]
+    return (pts.reshape(b, c, n_surface_samples, 3),
+            valid.reshape(b, c, n_surface_samples),
+            psr.reshape(b, c, *res))
+
+
+class DPSRNet2(nn.Module):
+    """Seg-net + SoftMesh (seg_logits_to_mesh.py:14-55)."""
+    seg_net_class: str
+    k: int
+    in_features: int
+    num_classes: int
+    spatial_transformer: bool = False
+    dynamic: bool = True
+    image_feat_module: bool = False
+    normals_smoothing_sigma: float = 10.0
+    dpsr_res: Sequence[int] = (128, 128, 128)
+    dpsr_sigma: float = 10.0
+    dpsr_scale: bool = True
+    dpsr_shift: bool = True
+    max_tris: int = 100_000
+    n_surface_samples: int = 2048
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 rng: jax.Array | None = None, return_psr: bool = False):
+        seg_cls = get_point_seg_model_class(self.seg_net_class)
+        seg_net = seg_cls(k=self.k, in_features=self.in_features,
+                          num_classes=self.num_classes,
+                          spatial_transformer=self.spatial_transformer,
+                          dynamic=self.dynamic,
+                          image_feat_module=self.image_feat_module)
+        seg_logits = seg_net(x, train)
+        coords = x[..., :3]
+        if rng is None:
+            rng = self.make_rng("surface") if self.has_rng("surface") \
+                else jax.random.PRNGKey(0)
+        samples, valid, psr = soft_mesh_surface_samples(
+            seg_logits, coords, rng, res=tuple(self.dpsr_res),
+            normals_smoothing_sigma=self.normals_smoothing_sigma,
+            dpsr_sigma=self.dpsr_sigma, dpsr_scale=self.dpsr_scale,
+            dpsr_shift=self.dpsr_shift, max_tris=self.max_tris,
+            n_surface_samples=self.n_surface_samples)
+        if return_psr:
+            return seg_logits, samples, valid, psr
+        return seg_logits, samples, valid

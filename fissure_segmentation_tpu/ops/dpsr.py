@@ -1,0 +1,75 @@
+"""Differentiable spectral Poisson surface reconstruction (DPSR).
+
+TPU-native counterpart of reference models/dpsr_net.py:32-104 (`DPSR`,
+`spectral_PSR`) + helpers models/dpsr_utils.py:104-155 (`fftfreqs`,
+`spec_gaussian_filter`): oriented point normals are rasterized to a grid,
+solved in the spectral domain (rFFT, spectral Gaussian smoothing, divergence
+over negative Laplacian) and normalized so the zero level-set is the
+surface. Pure XLA FFT work — ideal TPU fit; fully differentiable end-to-end.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .splat import grid_interp, point_rasterize
+
+
+def fftfreqs(res) -> np.ndarray:
+    """(d0, d1, d2r, n_dim) frequency grid (cycles), rfft on the last dim
+    (dpsr_utils.py:104-125)."""
+    freqs = [np.fft.fftfreq(r, d=1 / r) for r in res[:-1]]
+    freqs.append(np.fft.rfftfreq(res[-1], d=1 / res[-1]))
+    omega = np.stack(np.meshgrid(*freqs, indexing="ij"), axis=-1)
+    return omega.astype(np.float32)
+
+
+def spec_gaussian_filter(res, sig: float) -> np.ndarray:
+    """exp(-0.5 (sig * 2|w| / res0)^2) (dpsr_utils.py:144-150)."""
+    omega = fftfreqs(res)
+    dis = np.sqrt((omega ** 2).sum(-1))
+    return np.exp(-0.5 * ((sig * 2.0 * dis / res[0]) ** 2)).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("res", "sig", "scale", "shift"))
+def spectral_psr(v: jnp.ndarray, normal_field: jnp.ndarray, res,
+                 sig: float = 10.0, scale: bool = True, shift: bool = True):
+    """Solve the spectral Poisson problem (dpsr_net.py:66-104).
+
+    :param v: (B, N, 3) points in [0, 1] (index order) — used for the
+        shift normalization
+    :param normal_field: (B, 3, *res) rasterized normals
+    :return: (B, *res) indicator field phi (zero level-set = surface)
+    """
+    g = jnp.asarray(spec_gaussian_filter(res, sig))          # (d0,d1,d2r)
+    omega = jnp.asarray(fftfreqs(res)) * (2 * jnp.pi)         # (d0,d1,d2r,3)
+
+    n_hat = jnp.fft.rfftn(normal_field, axes=(2, 3, 4))       # (B,3,d0,d1,d2r)
+    n_hat = n_hat * g[None, None]
+    # DivN = sum_d -i * N_d * omega_d
+    div_n = jnp.sum(-1j * n_hat * jnp.moveaxis(omega, -1, 0)[None], axis=1)
+    lap = -jnp.sum(omega ** 2, axis=-1)                       # (d0,d1,d2r)
+    phi_hat = div_n / (lap[None] + 1e-6)
+    phi_hat = phi_hat.at[:, 0, 0, 0].set(0.0)                 # zero DC
+    phi = jnp.fft.irfftn(phi_hat, s=res, axes=(1, 2, 3))
+
+    if shift:
+        fv = grid_interp(phi[..., None], v)[..., 0]           # (B, N)
+        offset = fv.mean(axis=-1)
+        phi = phi - offset[:, None, None, None]
+    if scale:
+        fv0 = phi[:, 0, 0, 0]
+        phi = -phi / jnp.abs(fv0)[:, None, None, None] * 0.5
+    return phi
+
+
+def dpsr_forward(points: jnp.ndarray, normals: jnp.ndarray, res,
+                 sig: float = 10.0, scale: bool = True, shift: bool = True):
+    """Full DPSR forward (dpsr_net.py:50-64): points (B, N, 3) in grid coords
+    [-1, 1] + normals (B, N, 3) -> indicator field (B, *res)."""
+    v = (points + 1.0) / 2.0
+    ras = point_rasterize(v, normals, tuple(res))             # (B, 3, *res)
+    return spectral_psr(v, ras, tuple(res), sig, scale, shift)

@@ -10,16 +10,20 @@ coordinates are ``(..., 3)`` in xyz order, i.e. ``points[..., 0]`` indexes W.
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
+import numpy as np
 
 # Global convention: align_corners=False everywhere.
 ALIGN_CORNERS = False
 
 
-def _whd(shape) -> jnp.ndarray:
-    """(D, H, W) volume shape -> float (W, H, D) vector matching xyz points."""
+def _whd(shape) -> np.ndarray:
+    """(D, H, W) volume shape -> float (W, H, D) vector matching xyz points.
+
+    Plain numpy so these transforms are backend-generic: numpy in -> numpy
+    out (host-side data generation/IO), jax in -> jax out (device code).
+    """
     d, h, w = shape
-    return jnp.asarray([w, h, d], dtype=jnp.float32)
+    return np.asarray([w, h, d], dtype=np.float32)
 
 
 def kpts_to_grid(kpts_world, shape, align_corners: bool | None = None):
@@ -58,3 +62,8 @@ def grid_to_index_coords(kpts_pt, shape, align_corners: bool | None = None):
     """
     world = kpts_to_world(kpts_pt, shape, align_corners)  # xyz
     return world[..., ::-1]  # zyx
+
+
+def np_grid_coords(world_xyz: np.ndarray, shape) -> np.ndarray:
+    """Pure-numpy kpts_to_grid for host-side generation/IO paths."""
+    return np.asarray(kpts_to_grid(np.asarray(world_xyz, np.float32), shape))

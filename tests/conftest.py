@@ -7,11 +7,21 @@ fissure_segmentation_tpu.ops._config.interpret_mode).
 """
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. NOTE: this environment
+# presets JAX_PLATFORMS=axon (the remote TPU tunnel) AND a sitecustomize
+# that re-registers the axon plugin in every interpreter — tests must FORCE
+# the local CPU backend via jax.config (env alone is overridden), otherwise
+# every op round-trips through the tunnel (minutes of stall per test run).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.devices()
+assert len(jax.devices()) == 8
 
 import numpy as np
 import pytest
