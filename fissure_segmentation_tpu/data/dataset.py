@@ -31,11 +31,14 @@ def compute_class_weights(class_frequency: np.ndarray) -> np.ndarray:
 def save_case_npz(case: dict, folder: str) -> str:
     os.makedirs(folder, exist_ok=True)
     path = os.path.join(folder, f"{case['case_id']}_points_{case['sequence']}.npz")
-    arrays = {k: case[k] for k in ("coords", "labels") }
+    arrays = {k: case[k] for k in ("coords", "labels")}
     for opt in ("features", "lobes"):
         if case.get(opt) is not None:
             arrays[opt] = case[opt]
-    meta = {k: v for k, v in case.items() if k not in arrays}
+    for lbl, pts in (case.get("gt_surfaces") or {}).items():
+        arrays[f"gt_surface_{lbl}"] = pts
+    meta = {k: v for k, v in case.items()
+            if k not in arrays and k != "gt_surfaces"}
     np.savez_compressed(path, __meta__=json.dumps(meta, default=_json_default),
                         **arrays)
     return path
@@ -53,7 +56,12 @@ def _json_default(o):
 
 def load_case_npz(path: str) -> dict:
     with np.load(path, allow_pickle=False) as z:
-        case = {k: z[k] for k in z.files if k != "__meta__"}
+        case = {k: z[k] for k in z.files
+                if k != "__meta__" and not k.startswith("gt_surface_")}
+        gt = {int(k.split("_")[-1]): z[k] for k in z.files
+              if k.startswith("gt_surface_")}
+        if gt:
+            case["gt_surfaces"] = gt
         meta = json.loads(str(z["__meta__"]))
     # surface params dict keys get stringified by json
     if "surface_params" in meta and isinstance(meta["surface_params"], dict):

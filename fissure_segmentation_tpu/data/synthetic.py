@@ -144,7 +144,25 @@ def gt_surface_points(case: dict, label: int, n: int = 5000,
     return np_grid_coords(world, case["shape"])
 
 
+def attach_gt_surfaces(case: dict, n: int = 4000, seed: int = 0) -> dict:
+    """Add dense GT surface samples in *world* coords per fissure label
+    (the evaluation harness's `gt_surfaces` contract, train/evaluation.py)."""
+    rng = np.random.default_rng(seed)
+    d, h, w = case["shape"]
+    scale = np.array([w, h, d], np.float32) - 1
+    case["gt_surfaces"] = {
+        lbl: (sample_fissure_surface(case["surface_params"], lbl, n, rng)
+              * scale).astype(np.float32)
+        for lbl in _FISSURES
+    }
+    return case
+
+
 def make_synthetic_dataset(n_cases: int = 20, n_points: int = 8000,
-                           seed: int = 0, **kwargs) -> list[dict]:
-    return [make_synthetic_case(seed * 1000 + i, n_points, **kwargs)
-            for i in range(n_cases)]
+                           seed: int = 0, gt_surfaces: bool = False,
+                           **kwargs) -> list[dict]:
+    cases = [make_synthetic_case(seed * 1000 + i, n_points, **kwargs)
+             for i in range(n_cases)]
+    if gt_surfaces:
+        cases = [attach_gt_surfaces(c, seed=seed) for c in cases]
+    return cases

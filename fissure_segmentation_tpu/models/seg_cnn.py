@@ -1,0 +1,199 @@
+"""3-D segmentation CNNs: MobileNetV2-style backbone + ASPP head, and
+patch-based sliding-window inference with Gaussian importance blending.
+
+TPU-native counterpart of reference models/mobilenet.py:16-66 (MobileNet3D),
+models/aspp_3d.py:58-86 (ASPP) and models/seg_cnn.py:15-166
+(PatchBasedModule, MobileNetASPP). Convs are channel-last (NDHWC) — the
+layout XLA tiles directly onto the MXU; gradient checkpointing maps to
+`flax.linen.remat` on the backbone/ASPP/head exactly where the reference
+checkpoints (seg_cnn.py:122-126).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def _bn(train):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)
+
+
+def relu6(x):
+    return jnp.minimum(jnp.maximum(x, 0.0), 6.0)
+
+
+class _InvertedResidual(nn.Module):
+    """1x1 expand -> 3x3 depthwise -> 1x1 project (mobilenet.py:26-39)."""
+    mid: int
+    out: int
+    stride: int = 1
+    first: bool = False  # first block: 3x3 stride-2 expansion conv
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inc = x.shape[-1]
+        residual = (inc == self.out) and self.stride == 1 and not self.first
+        h = x
+        if self.first:
+            h = nn.Conv(self.mid, (3, 3, 3), strides=2, padding=1,
+                        use_bias=False, kernel_init=kaiming_out)(h)
+        else:
+            h = nn.Conv(self.mid, (1, 1, 1), use_bias=False,
+                        kernel_init=kaiming_out)(h)
+        h = relu6(_bn(train)(h))
+        h = nn.Conv(self.mid, (3, 3, 3), strides=self.stride, padding=1,
+                    feature_group_count=self.mid, use_bias=False,
+                    kernel_init=kaiming_out)(h)
+        h = relu6(_bn(train)(h))
+        h = nn.Conv(self.out, (1, 1, 1), use_bias=False,
+                    kernel_init=kaiming_out)(h)
+        h = _bn(train)(h)
+        return h + x if residual else h
+
+
+class MobileNet3D(nn.Module):
+    """(mobilenet.py:16-52). Returns (x1 /2 16ch, x2 /4 64ch)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        specs = [  # (mid, out, stride, first)
+            (32, 16, 1, True), (96, 24, 1, False), (144, 24, 1, False),
+            (144, 32, 1, False), (192, 32, 1, False), (192, 32, 2, False),
+            (192, 64, 1, False), (384, 64, 1, False),
+        ]
+        block = nn.remat(_InvertedResidual, static_argnums=(2,))
+        h = block(*specs[0][:3], first=True)(x, train)
+        x1 = h
+        for mid, out, stride, first in specs[1:]:
+            h = block(mid, out, stride)(h, train)
+        return x1, h
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling (aspp_3d.py:58-86)."""
+    atrous_rates: Sequence[int]
+    out_channels: int = 256
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        res = []
+        h = nn.Conv(self.out_channels, (1, 1, 1), use_bias=False,
+                    kernel_init=kaiming_out)(x)
+        res.append(nn.relu(_bn(train)(h)))
+        for rate in self.atrous_rates:
+            h = nn.Conv(self.out_channels, (3, 3, 3), padding=rate,
+                        kernel_dilation=rate, use_bias=False,
+                        kernel_init=kaiming_out)(x)
+            res.append(nn.relu(_bn(train)(h)))
+        # global pooling branch
+        g = jnp.mean(x, axis=(-4, -3, -2), keepdims=True)
+        g = nn.Conv(self.out_channels, (1, 1, 1), use_bias=False,
+                    kernel_init=kaiming_out)(g)
+        g = nn.relu(_bn(train)(g))
+        res.append(jnp.broadcast_to(g, res[0].shape))
+        h = jnp.concatenate(res, axis=-1)
+        h = nn.Conv(self.out_channels, (1, 1, 1), use_bias=False,
+                    kernel_init=kaiming_out)(h)
+        h = nn.relu(_bn(train)(h))
+        return nn.Dropout(self.dropout, deterministic=not train)(h)
+
+
+def _resize(x, scale, method):
+    b, d, h, w, c = x.shape
+    return jax.image.resize(x, (b, d * scale, h * scale, w * scale, c), method)
+
+
+class MobileNetASPP(nn.Module):
+    """Pre-segmentation CNN (seg_cnn.py:100-131). Input (B, D, H, W, 1),
+    output (B, D, H, W, num_classes) logits."""
+    num_classes: int
+    patch_size: Sequence[int] = (128, 128, 128)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x1, x2 = MobileNet3D()(x, train)
+        y = nn.remat(ASPP, static_argnums=(2,))((2, 4, 8, 16), 128)(x2, train)
+        y = jnp.concatenate([x1, _resize(y, 2, "nearest")], axis=-1)
+        y = nn.Conv(64, (1, 1, 1), use_bias=False, kernel_init=kaiming_out)(y)
+        y = nn.relu(_bn(train)(y))
+        y = nn.Conv(64, (3, 3, 3), padding=1, use_bias=False,
+                    kernel_init=kaiming_out)(y)
+        y = nn.relu(_bn(train)(y))
+        y = nn.Conv(self.num_classes, (1, 1, 1))(y)
+        return _resize(y, 2, "trilinear")
+
+
+# ---------------- patch-based sliding-window inference ----------------
+
+def get_patch_starts(img_size, min_overlap, patch_size):
+    """(seg_cnn.py:87-99) minimal-overlap tiling start indices per dim."""
+    starts = []
+    for dim, patch in zip(img_size, patch_size):
+        if patch >= dim:
+            starts.append([0])
+        else:
+            steps = math.ceil((dim - patch * min_overlap)
+                              / (patch - patch * min_overlap))
+            actual_overlap = (steps * patch - dim) / (steps - 1)
+            starts.append([math.floor(s * (patch - actual_overlap) + 0.5)
+                           for s in range(steps)])
+    return starts
+
+
+def gaussian_importance_map(patch_size, sigma_scale=1 / 4.0) -> np.ndarray:
+    """Gaussian-blurred dirac at the patch center (seg_cnn.py:64-84)."""
+    from scipy.ndimage import gaussian_filter
+    w = np.zeros(patch_size)
+    w[tuple(p // 2 for p in patch_size)] = 1
+    w = gaussian_filter(w, sigma=[p * sigma_scale for p in patch_size],
+                        mode="constant", cval=0)
+    w[w == 0] = w[w != 0].min()
+    return w.astype(np.float32)
+
+
+def predict_all_patches(apply_fn, variables, img: jnp.ndarray,
+                        num_classes: int, patch_size=(128, 128, 128),
+                        min_overlap: float = 0.5, use_gaussian: bool = True):
+    """Sliding-window inference with Gaussian blending (seg_cnn.py:22-62).
+
+    :param img: (D, H, W) volume (single channel)
+    :return: (D, H, W, num_classes) softmax output
+    """
+    dhw = img.shape
+    starts = get_patch_starts(dhw, min_overlap, patch_size)
+    gmap = jnp.asarray(gaussian_importance_map(patch_size)) if use_gaussian \
+        else jnp.ones(patch_size, jnp.float32)
+
+    # pad so every patch fits (patches can exceed bounds on small dims)
+    pad = [max(0, p - s) for s, p in zip(dhw, patch_size)]
+    img_p = jnp.pad(img, [(q // 2 + q % 2, q // 2) for q in pad], mode="edge")
+
+    @jax.jit
+    def run_patch(patch):
+        logits = apply_fn(variables, patch[None, ..., None], train=False)[0]
+        return jax.nn.softmax(logits, axis=-1) * gmap[..., None]
+
+    out = jnp.zeros((*img_p.shape, num_classes))
+    norm = jnp.zeros((*img_p.shape, 1))
+    for sz in starts[0]:
+        for sy in starts[1]:
+            for sx in starts[2]:
+                sl = (slice(sz, sz + patch_size[0]),
+                      slice(sy, sy + patch_size[1]),
+                      slice(sx, sx + patch_size[2]))
+                patch = img_p[sl]
+                out = out.at[sl].add(run_patch(patch))
+                norm = norm.at[sl].add(gmap[..., None])
+    out = out / norm
+    lo = [q // 2 + q % 2 for q in pad]
+    out = out[lo[0]:lo[0] + dhw[0], lo[1]:lo[1] + dhw[1], lo[2]:lo[2] + dhw[2]]
+    return jax.nn.softmax(out, axis=-1)

@@ -1,0 +1,192 @@
+"""Surface fitting: point cloud -> regularized fissure surface mesh.
+
+TPU-native counterpart of reference data_processing/surface_fitting.py:
+  pointcloud_surface_fitting:42 — Open3D octree Poisson reconstruction.
+    Here: device normal estimation (ops/normals.py) + the *spectral* Poisson
+    solver (ops/dpsr.py — the same substitution the reference itself makes in
+    DPSRNet2) + marching tetrahedra. The octree depth-6 resolution of the
+    reference corresponds to a 64^3 grid; `grid_res` controls it.
+  mask_out_verts_from_mesh / remove_all_but_biggest_component
+    (utils/general_utils.py:157-209) — masking happens on the indicator
+    *voxel grid* (equivalent, simpler than mesh surgery): vertices outside
+    the (dilated) mask are cut by clamping phi, and the largest connected
+    component (with the left/right-lung preference) is selected with one
+    host-side scipy.ndimage.label pass on the sign grid.
+  o3d_mesh_to_labelmap:144 — dense surface sampling scattered to a labelmap.
+
+Meshes are fixed-budget triangle soups (tris (T, 3, 3) world xyz, valid (T,)).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.dpsr import dpsr_forward
+from ..ops.marching import marching_tetrahedra, sample_points_on_triangles
+from ..ops.normals import estimate_pointcloud_normals
+from ..utils.coords import kpts_to_grid, kpts_to_world
+
+
+def keep_largest_component(sign_grid: np.ndarray, right: bool | None = None,
+                           center_x: float | None = None) -> np.ndarray:
+    """Largest 26-connected inside-region of a boolean grid (zyx), with the
+    reference's left/right preference (general_utils.py:171-209): components
+    whose center is in the wrong body half get score -1/size.
+    """
+    from scipy import ndimage
+    labels, n = ndimage.label(sign_grid, structure=np.ones((3, 3, 3)))
+    if n == 0:
+        return sign_grid
+    sizes = ndimage.sum_labels(np.ones_like(labels), labels, index=np.arange(1, n + 1))
+    scores = sizes.astype(np.float64)
+    if right is not None and center_x is not None:
+        centers = ndimage.center_of_mass(sign_grid, labels, np.arange(1, n + 1))
+        for c, com in enumerate(centers):
+            x = com[2]  # zyx -> x
+            if (right and x > center_x) or (not right and x < center_x):
+                scores[c] = -1.0 / max(sizes[c], 1)
+    keep = 1 + int(np.argmax(scores))
+    return labels == keep
+
+
+@functools.partial(jax.jit, static_argnames=("grid_res", "sig", "k_normals"))
+def _psr_grid(points_grid: jnp.ndarray, valid: jnp.ndarray, grid_res, sig,
+              k_normals):
+    normals = estimate_pointcloud_normals(points_grid[None], k=k_normals,
+                                          mask=valid[None])[0]
+    w = valid[:, None].astype(points_grid.dtype)
+    phi = dpsr_forward(points_grid[None], (normals * w)[None],
+                       res=grid_res, sig=sig)
+    return phi[0]
+
+
+def pointcloud_surface_fitting(points_world: np.ndarray, shape,
+                               mask: np.ndarray | None = None,
+                               mask_dilate_radius: int = 1,
+                               grid_res=(64, 64, 64), sig: float = 4.0,
+                               k_normals: int = 30, max_tris: int = 100_000,
+                               right: bool | None = None,
+                               center_x: float | None = None,
+                               crop_to_bbox: bool = True):
+    """Fit a surface to a fissure point cloud.
+
+    :param points_world: (N, 3) xyz voxel coordinates in a (D, H, W) volume
+    :param shape: volume shape (D, H, W)
+    :param mask: optional (D, H, W) boolean lung mask (voxel grid)
+    :return: (tris (T, 3, 3) world xyz, valid (T,))
+    """
+    points_world = np.asarray(points_world, np.float32)
+    if points_world.size == 0 or points_world.shape[0] < 4:
+        raise ValueError(
+            f"Tried reconstructing mesh from {points_world.shape[0]} points. "
+            "Requires at least 4.")
+
+    # zyx grid coords so coordinate order matches the (D, H, W) phi dims
+    # (the DPSR rasterizer is index-ordered: coord d <-> grid dim d)
+    pts_grid = jnp.asarray(kpts_to_grid(points_world, shape)[:, ::-1])
+    valid = jnp.ones(pts_grid.shape[0], bool)
+    phi = np.asarray(_psr_grid(pts_grid, valid, tuple(grid_res), sig, k_normals))
+
+    inside = phi < 0
+    d, h, w = shape
+    scale_zyx = np.array([(d - 1), (h - 1), (w - 1)], np.float64) / \
+        (np.array(grid_res, np.float64) - 1)
+
+    if mask is not None:
+        from scipy import ndimage
+        m = np.asarray(mask, bool)
+        if mask_dilate_radius > 0:
+            m = ndimage.binary_dilation(m, iterations=mask_dilate_radius)
+        # resample mask onto the PSR grid (nearest)
+        gz, gy, gx = np.meshgrid(*[np.arange(r) for r in grid_res], indexing="ij")
+        mz = np.clip((gz * scale_zyx[0]).round().astype(int), 0, d - 1)
+        my = np.clip((gy * scale_zyx[1]).round().astype(int), 0, h - 1)
+        mx = np.clip((gx * scale_zyx[2]).round().astype(int), 0, w - 1)
+        inside &= m[mz, my, mx]
+
+    if crop_to_bbox:
+        # reference crops the mesh to the point-cloud bbox (surface_fitting.py:70-74)
+        g = np.asarray(kpts_to_grid(points_world, shape))[:, ::-1]  # zyx
+        res = np.array(grid_res, np.float64) - 1
+        lo_i = np.floor((g.min(0) + 1) / 2 * res).astype(int)
+        hi_i = np.ceil((g.max(0) + 1) / 2 * res).astype(int)
+        bbox = np.zeros(grid_res, bool)
+        bbox[max(lo_i[0], 0):hi_i[0] + 1, max(lo_i[1], 0):hi_i[1] + 1,
+             max(lo_i[2], 0):hi_i[2] + 1] = True
+        inside &= bbox
+
+    center_x_grid = None if center_x is None else \
+        center_x / max(scale_zyx[2], 1e-9)
+    inside = keep_largest_component(inside, right=right, center_x=center_x_grid)
+
+    # extract the surface from the *raw* field, then drop triangles whose
+    # neighborhood is not in the kept inside-region — filtering triangles
+    # (like the reference's mesh cropping/masking, general_utils.py:157-209)
+    # instead of clamping phi, which would fabricate walls at crop faces.
+    tris, tvalid, _ = marching_tetrahedra(jnp.asarray(phi), max_tris=max_tris)
+    tris = np.asarray(tris)
+    tvalid = np.asarray(tvalid)
+    centers = tris.mean(axis=1)  # (T, 3) PSR-voxel zyx
+    lo = np.floor(centers).astype(int)
+    keep = np.zeros(len(tris), bool)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                c = np.clip(lo + [dz, dy, dx], 0,
+                            np.asarray(grid_res) - 1)
+                keep |= inside[c[:, 0], c[:, 1], c[:, 2]]
+    tvalid = tvalid & keep
+
+    # PSR-voxel index (zyx) -> normalized grid coord (zyx) -> world xyz
+    g = tris / (np.array(grid_res, np.float64) - 1) * 2.0 - 1.0
+    tris_world = np.asarray(kpts_to_world(jnp.asarray(g[..., ::-1].copy(),
+                                                      dtype=jnp.float32), shape))
+    return tris_world.astype(np.float32), tvalid
+
+
+def poisson_reconstruction(fissures: np.ndarray, mask: np.ndarray | None = None,
+                           spacing=(1.0, 1.0, 1.0), mask_dilate_radius: int = 1,
+                           **kwargs):
+    """Label-map regularization (surface_fitting.py:87-141): per fissure
+    label, fit a surface and rasterize all meshes back to one labelmap.
+
+    :param fissures: (D, H, W) int labelmap (thinning is skipped — the
+        spectral PSR fits a zero level-set through thick labels directly)
+    :return: (labelmap (D, H, W) uint8, list of (tris, valid) meshes)
+    """
+    fissures = np.asarray(fissures)
+    shape = fissures.shape
+    labels = sorted(int(l) for l in np.unique(fissures) if l != 0)
+    meshes = []
+    for f in labels:
+        pts_zyx = np.argwhere(fissures == f).astype(np.float32)
+        pts_world = pts_zyx[:, ::-1] * np.asarray(spacing, np.float32)
+        right = f > 1  # labels 2, 3 are right-lung fissures
+        tris, valid = pointcloud_surface_fitting(
+            pts_world / np.asarray(spacing, np.float32), shape, mask=mask,
+            mask_dilate_radius=mask_dilate_radius, right=right,
+            center_x=shape[2] / 2, **kwargs)
+        meshes.append((tris, valid))
+    labelmap = mesh_to_labelmap(meshes, shape)
+    return labelmap, meshes
+
+
+def mesh_to_labelmap(meshes, shape, n_samples: int = 10 ** 6,
+                     seed: int = 0) -> np.ndarray:
+    """Sample surfaces densely and scatter into a labelmap
+    (surface_fitting.py:144-163; world xyz == voxel coords here)."""
+    label = np.zeros(shape, np.uint8)
+    for i, (tris, valid) in enumerate(meshes):
+        if not np.any(valid):
+            continue
+        pts = np.asarray(sample_points_on_triangles(
+            jax.random.PRNGKey(seed + i), jnp.asarray(tris),
+            jnp.asarray(valid), n_samples))
+        idx = np.floor(pts[:, ::-1]).astype(int)  # xyz -> zyx
+        ok = np.all((idx >= 0) & (idx < np.asarray(shape)), axis=1)
+        idx = idx[ok]
+        label[idx[:, 0], idx[:, 1], idx[:, 2]] = i + 1
+    return label

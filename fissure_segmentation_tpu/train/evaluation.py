@@ -1,0 +1,194 @@
+"""End-to-end test pipeline + result CSV writers.
+
+Counterpart of reference train.py:179-346 (`test`) and the writers at
+train.py:427-483: per case — ensembled full-cloud prediction, per-class
+point extraction, Poisson (spectral PSR) surface fit with lung-half
+component filtering, label Dice + mesh distance metrics (ASSD/SDSD/HD/HD95),
+NaN rows for failed fissures instead of aborting (train.py:294-297) —
+aggregated to mean/std CSVs.
+
+GT surfaces come from the dataset: each case may carry dense GT surface
+samples per fissure label under ``gt_surfaces`` (dict label -> (M, 3) world
+xyz points), e.g. produced by data/synthetic.gt_surface_points or loaded
+from reference mesh files.
+"""
+from __future__ import annotations
+
+import csv
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import PointDataset
+from ..metrics import batch_dice, mesh_metrics_from_point_sets
+from ..models.ensemble import ensemble_predict
+from ..ops.marching import sample_points_on_triangles
+from ..postprocess.surface_fitting import pointcloud_surface_fitting
+from ..utils.coords import kpts_to_world
+
+
+def evaluate_case(pred_labels: np.ndarray, coords_grid: np.ndarray, case: dict,
+                  num_classes: int, grid_res=(64, 64, 64),
+                  n_metric_samples: int = 4000, seed: int = 42):
+    """Post-process one case: per-fissure surface fit + mesh metrics.
+
+    :return: dict with 'assd', 'sdsd', 'hd', 'hd95' arrays (num_classes-1,)
+        (NaN where reconstruction failed) and 'missing' bool array.
+    """
+    shape = case["shape"]
+    n_f = num_classes - 1
+    out = {k: np.full(n_f, np.nan) for k in ("assd", "sdsd", "hd", "hd95")}
+    out["missing"] = np.ones(n_f, bool)
+    gt_surfaces = case.get("gt_surfaces")
+    for c in range(1, num_classes):
+        pts = coords_grid[pred_labels == c]
+        if pts.shape[0] < 4:
+            continue  # NaN row (reference train.py:294-297)
+        pts_world = np.asarray(kpts_to_world(jnp.asarray(pts), shape))
+        try:
+            tris, valid = pointcloud_surface_fitting(
+                pts_world, shape, grid_res=grid_res, right=c > 1,
+                center_x=shape[2] / 2)
+        except ValueError:
+            continue
+        if not valid.any():
+            continue
+        out["missing"][c - 1] = False
+        if gt_surfaces is None or c not in gt_surfaces:
+            continue
+        pred_samples = np.asarray(sample_points_on_triangles(
+            jax.random.PRNGKey(seed + c), jnp.asarray(tris), jnp.asarray(valid),
+            n_metric_samples))
+        gt = np.asarray(gt_surfaces[c])
+        assd, sdsd, hd, hd95 = mesh_metrics_from_point_sets(
+            jnp.asarray(pred_samples), jnp.asarray(gt, dtype=jnp.float32))
+        out["assd"][c - 1] = float(assd)
+        out["sdsd"][c - 1] = float(sdsd)
+        out["hd"][c - 1] = float(hd)
+        out["hd95"][c - 1] = float(hd95)
+    return out
+
+
+def test_pipeline(ds: PointDataset, apply_fn, variables, out_dir: str,
+                  sample_points: int = 2048, n_runs_min: int = 50,
+                  grid_res=(64, 64, 64), seed: int = 42, show: bool = False):
+    """Full test harness over a dataset (train.py:179-346).
+
+    :return: dict of per-class aggregate metric arrays
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    num_classes = ds.num_classes
+    rng = jax.random.PRNGKey(seed)
+
+    dices, per_case, ids = [], [], []
+    inference_times, post_times = [], []
+    for i in range(len(ds)):
+        x, y = ds.get_full_pointcloud(i)
+        rng, r = jax.random.split(rng)
+        t0 = time.time()
+        probs = ensemble_predict(apply_fn, variables, jnp.asarray(x), r,
+                                 sample_points=min(sample_points, x.shape[0]),
+                                 n_runs_min=n_runs_min)
+        pred = np.asarray(jnp.argmax(probs, axis=-1))
+        jax.block_until_ready(probs)
+        inference_times.append(time.time() - t0)
+
+        dices.append(np.asarray(batch_dice(jnp.asarray(pred)[None],
+                                           jnp.asarray(y)[None], num_classes)))
+        t0 = time.time()
+        per_case.append(evaluate_case(pred, x[:, :3], ds.cases[i], num_classes,
+                                      grid_res=grid_res, seed=seed))
+        post_times.append(time.time() - t0)
+        ids.append("_".join(str(s) for s in ds.ids[i]))
+
+    dices = np.stack(dices)
+    metrics = {}
+    for k in ("assd", "sdsd", "hd", "hd95"):
+        metrics[k] = np.stack([c[k] for c in per_case])
+    missing = np.stack([c["missing"] for c in per_case])
+
+    mean = lambda a: np.nanmean(a, axis=0)
+    std = lambda a: np.nanstd(a, axis=0)
+    write_results(os.path.join(out_dir, "test_results.csv"),
+                  dices.mean(0), dices.std(0),
+                  mean(metrics["assd"]), std(metrics["assd"]),
+                  mean(metrics["sdsd"]), std(metrics["sdsd"]),
+                  mean(metrics["hd"]), std(metrics["hd"]),
+                  mean(metrics["hd95"]), std(metrics["hd95"]),
+                  missing.mean(0))
+    write_raw_results_per_instance(out_dir, ids=ids, dice=dices[:, 1:],
+                                   assd=metrics["assd"])
+    write_speed_results(out_dir, inference_times, post_times)
+    return {"dice": dices.mean(0), "assd": mean(metrics["assd"]),
+            "sdsd": mean(metrics["sdsd"]), "hd": mean(metrics["hd"]),
+            "hd95": mean(metrics["hd95"]), "missing": missing.mean(0)}
+
+
+def write_results(filepath, mean_dice, std_dice, mean_assd, std_assd,
+                  mean_sdsd, std_sdsd, mean_hd, std_hd, mean_hd95, std_hd95,
+                  proportion_missing=None, **additional_metrics):
+    """(train.py:451-483 format parity)"""
+    def row(name, arr):
+        arr = np.atleast_1d(np.asarray(arr, np.float64))
+        return [name] + [float(v) for v in arr] + [float(np.nanmean(arr))]
+
+    with open(filepath, "w") as f:
+        w = csv.writer(f)
+        if mean_dice is not None:
+            w.writerow(["Class"] + [str(i) for i in range(len(mean_dice))] + ["mean"])
+            w.writerow(row("Mean Dice", mean_dice))
+            w.writerow(row("StdDev Dice", std_dice))
+            w.writerow([])
+        w.writerow(["Fissure"] + [str(i + 1) for i in range(len(mean_assd))] + ["mean"])
+        w.writerow(row("Mean ASSD", mean_assd))
+        w.writerow(row("StdDev ASSD", std_assd))
+        w.writerow(row("Mean SDSD", mean_sdsd))
+        w.writerow(row("StdDev SDSD", std_sdsd))
+        w.writerow(row("Mean HD", mean_hd))
+        w.writerow(row("StdDev HD", std_hd))
+        w.writerow(row("Mean HD95", mean_hd95))
+        w.writerow(row("StdDev HD95", std_hd95))
+        if proportion_missing is None:
+            proportion_missing = np.zeros_like(np.asarray(mean_assd))
+        w.writerow(row("proportion missing", proportion_missing))
+        for key, value in additional_metrics.items():
+            arr = np.atleast_1d(np.asarray(value))
+            w.writerow([key] + [float(v) for v in arr])
+
+
+def write_raw_results_per_instance(out_folder, ids=None, copd=False, **metrics):
+    """(train.py:150-177 format parity, without the pandas dependency)"""
+    for name, values in metrics.items():
+        values = np.asarray(values)
+        path = os.path.join(out_folder,
+                            f"{name}_per_instance{'_copd' if copd else ''}.csv")
+        with open(path, "w") as f:
+            w = csv.writer(f)
+            w.writerow(["ID"] + [f"fissure {i + 1}" for i in range(values.shape[1])]
+                       + ["mean"])
+            for r, vid in enumerate(ids or range(values.shape[0])):
+                w.writerow([vid] + [float(v) for v in values[r]]
+                           + [float(np.nanmean(values[r]))])
+
+
+def write_speed_results(out_dir, all_inference_times, all_post_proc_times=None,
+                        points_per_fissure=None):
+    """(train.py:427-448 format parity)"""
+    inf = np.asarray(all_inference_times, np.float64)
+    post = np.asarray(all_post_proc_times, np.float64) \
+        if all_post_proc_times is not None else np.zeros_like(inf)
+    total = inf + post
+    header = ["Inference", "Inference_std", "Post-Processing",
+              "Post-Processing_std", "Total", "Total_std"]
+    row = [inf.mean(), inf.std(), post.mean(), post.std(), total.mean(), total.std()]
+    if points_per_fissure is not None:
+        ppf = np.asarray(points_per_fissure, np.float64)
+        header += ["Points_per_Fissure", "Points_per_Fissure_std"]
+        row += [ppf.mean(), ppf.std(0).mean()]
+    with open(os.path.join(out_dir, "inference_time.csv"), "w") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerow([float(v) for v in row])

@@ -1,0 +1,61 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fissure_segmentation_tpu.keypoints.extraction import (compute_keypoints,
+                                                           get_enhancement_keypoints,
+                                                           get_noisy_keypoints)
+
+
+def _toy_volume(n=48):
+    """CT-ish volume with one bright plane 'fissure' at z = n//2."""
+    rng = np.random.default_rng(0)
+    img = rng.normal(-800, 30, (n, n, n)).astype(np.float32)
+    fissures = np.zeros((n, n, n), np.int32)
+    fissures[n // 2, 8:-8, 8:-8] = 1
+    img[n // 2, 8:-8, 8:-8] = -300
+    mask = np.zeros((n, n, n), bool)
+    mask[4:-4, 4:-4, 4:-4] = True
+    return img, fissures, mask
+
+
+def test_noisy_mode():
+    img, fissures, mask = _toy_volume()
+    case = compute_keypoints(jax.random.PRNGKey(0), img, fissures, mask,
+                             kp_mode="noisy", max_kpts=2000, dilate_labels=2)
+    assert case["coords"].shape[1] == 3
+    assert len(case["coords"]) > 100
+    # noise sigma=3 vs +-2.5-voxel dilated slab: ~60% recapture expected
+    assert (case["labels"] == 1).mean() > 0.4
+
+
+def test_foerstner_mode():
+    img, fissures, mask = _toy_volume(32)
+    case = compute_keypoints(jax.random.PRNGKey(0), img, fissures, mask,
+                             kp_mode="foerstner", max_kpts=2000, dilate_labels=1)
+    assert len(case["coords"]) > 50
+    assert np.abs(case["coords"]).max() <= 1.0
+
+
+def test_enhancement_mode():
+    img, fissures, mask = _toy_volume(32)
+    case = compute_keypoints(jax.random.PRNGKey(1), img, fissures, mask,
+                             kp_mode="enhancement", max_kpts=2000,
+                             dilate_labels=1)
+    # enhancement keypoints should cluster on the bright plane
+    assert len(case["coords"]) > 20
+    assert (case["labels"] == 1).mean() > 0.5
+
+
+def test_cnn_mode():
+    img, fissures, mask = _toy_volume(24)
+    # fake softmax: high class-1 prob on the fissure plane
+    sm = np.zeros((24, 24, 24, 2), np.float32)
+    sm[..., 0] = 0.9
+    sm[12, 8:-8, 8:-8, 0] = 0.1   # CNN fires exactly on the labeled fissure
+    sm[12, 8:-8, 8:-8, 1] = 0.9
+    case = compute_keypoints(jax.random.PRNGKey(0), img, fissures, mask,
+                             kp_mode="cnn", cnn_softmax=sm, max_kpts=500,
+                             dilate_labels=1)
+    assert case["features"].shape == (len(case["coords"]), 2 * 125)
+    assert (case["labels"] == 1).mean() > 0.8

@@ -1,0 +1,55 @@
+import jax.numpy as jnp
+import numpy as np
+
+from fissure_segmentation_tpu.data.synthetic import (gt_surface_points,
+                                                     make_synthetic_case)
+from fissure_segmentation_tpu.metrics import mesh_metrics_from_point_sets
+from fissure_segmentation_tpu.ops.marching import sample_points_on_triangles
+from fissure_segmentation_tpu.ops.normals import estimate_pointcloud_normals
+from fissure_segmentation_tpu.postprocess import (mesh_to_labelmap,
+                                                  pointcloud_surface_fitting)
+from fissure_segmentation_tpu.utils.coords import kpts_to_world
+
+
+def test_normal_estimation_on_plane(rng):
+    # points on z = 0.5x + 0.2y -> normal prop to (-0.5, -0.2, 1)/|.|
+    xy = rng.uniform(-1, 1, (500, 2)).astype(np.float32)
+    z = 0.5 * xy[:, 0] + 0.2 * xy[:, 1]
+    pts = jnp.asarray(np.stack([xy[:, 0], xy[:, 1], z], -1))
+    n = np.asarray(estimate_pointcloud_normals(pts, k=20))
+    expected = np.array([-0.5, -0.2, 1.0])
+    expected /= np.linalg.norm(expected)
+    cos = n @ expected
+    # globally-oriented: all normals near +expected
+    assert (cos > 0.98).mean() > 0.95, cos.mean()
+
+
+def test_surface_fitting_on_synthetic_fissure():
+    case = make_synthetic_case(3, n_points=4000, with_feature=False)
+    shape = case["shape"]
+    # take the LOF points (grid coords) -> world
+    lof = case["coords"][case["labels"] == 1]
+    pts_world = np.asarray(kpts_to_world(jnp.asarray(lof), shape))
+
+    tris, valid = pointcloud_surface_fitting(pts_world, shape, grid_res=(64, 64, 64),
+                                             right=False, center_x=shape[2] / 2)
+    assert valid.sum() > 100
+
+    # fitted surface must be close to the dense GT surface (ASSD in voxels)
+    import jax
+    pred_pts = np.asarray(sample_points_on_triangles(
+        jax.random.PRNGKey(0), jnp.asarray(tris), jnp.asarray(valid), 4000))
+    gt_grid = gt_surface_points(case, 1, n=4000)
+    gt_world = np.asarray(kpts_to_world(jnp.asarray(gt_grid), shape))
+    assd, sdsd, hd, hd95 = mesh_metrics_from_point_sets(
+        jnp.asarray(pred_pts), jnp.asarray(gt_world))
+    print("surface fit ASSD:", float(assd), "HD95:", float(hd95))
+    assert float(assd) < 3.0   # voxels (GT extends past the crop bbox edges)
+    assert float(hd95) < 10.0
+
+    # labelmap conversion
+    lm = mesh_to_labelmap([(tris, valid)], shape, n_samples=10 ** 5)
+    assert lm.sum() > 0
+    occupied = np.argwhere(lm == 1)
+    # labeled voxels near the fissure z-range
+    assert occupied[:, 0].std() > 1.0

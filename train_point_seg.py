@@ -1,0 +1,138 @@
+"""Train/evaluate point-cloud fissure segmentation networks.
+
+Counterpart of reference train.py (__main__:609-667, run:568, cross_val:486,
+train:32, test:179, speed_test:349) + train_segmentation_net.py: cross-
+validated training of DGCNN / PointNet / PointTransformer on keypoint-cloud
+cases, full test pipeline (ensembled inference -> surface fitting -> Dice +
+mesh metrics -> CSVs) and an inference speed test.
+
+Data: --ds synthetic generates cases on the fly; --data_dir loads
+*_points_*.npz case files (convertible from the reference's .pth files via
+fissure_segmentation_tpu.data.dataset.load_reference_point_file).
+"""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fissure_segmentation_tpu.cli import (get_point_segmentation_parser,
+                                          load_args_for_testing, store_args)
+from fissure_segmentation_tpu.data import (PointDataset, create_split,
+                                           load_split_file,
+                                           make_synthetic_dataset,
+                                           save_split_file)
+from fissure_segmentation_tpu.losses import get_loss_fn
+from fissure_segmentation_tpu.models import (get_point_seg_model_class,
+                                             load_model)
+from fissure_segmentation_tpu.train import ModelTrainer, TrainConfig
+from fissure_segmentation_tpu.train.evaluation import (test_pipeline,
+                                                       write_speed_results)
+from fissure_segmentation_tpu.utils.detached_run import maybe_run_detached_cli
+
+
+def build_dataset(args) -> PointDataset:
+    if args.ds == "synthetic" or args.data_dir is None:
+        cases = make_synthetic_dataset(20, n_points=8000, gt_surfaces=True)
+        return PointDataset(cases, sample_points=args.pts,
+                            exclude_rhf=args.exclude_rhf,
+                            lobes=args.data == "lobes", binary=args.binary)
+    return PointDataset.from_folder(args.data_dir, sample_points=args.pts,
+                                    exclude_rhf=args.exclude_rhf,
+                                    lobes=args.data == "lobes",
+                                    binary=args.binary)
+
+
+def build_model(args, ds: PointDataset):
+    cls = get_point_seg_model_class(args.model)
+    kwargs = dict(in_features=ds.n_features, num_classes=ds.num_classes)
+    if args.model in ("DGCNN",):
+        kwargs.update(k=args.k, spatial_transformer=args.transformer,
+                      dynamic=not args.static,
+                      image_feat_module=args.img_feat_extractor)
+    elif args.model == "PointNet":
+        kwargs.update(spatial_transform=args.transformer)
+    return cls(**kwargs)
+
+
+def speed_test(ds: PointDataset, model, variables, out_dir: str,
+               sample_points: int, n_runs_min: int = 50, repeats: int = 10):
+    """Inference timing (train.py:349-424): block_until_ready-timed ensemble
+    prediction over full clouds."""
+    import time
+    from fissure_segmentation_tpu.models.ensemble import ensemble_predict
+
+    x, _ = ds.get_full_pointcloud(0)
+    x = jnp.asarray(x)
+    rng = jax.random.PRNGKey(42)
+    # warm-up / compile
+    jax.block_until_ready(ensemble_predict(model.apply, variables, x, rng,
+                                           sample_points, n_runs_min))
+    times = []
+    for i in range(repeats):
+        rng, r = jax.random.split(rng)
+        t0 = time.perf_counter()
+        jax.block_until_ready(ensemble_predict(model.apply, variables, x, r,
+                                               sample_points, n_runs_min))
+        times.append(time.perf_counter() - t0)
+    write_speed_results(out_dir, times)
+    print(f"inference: {np.mean(times) * 1e3:.1f} +- {np.std(times) * 1e3:.1f} ms")
+
+
+def run(args):
+    os.makedirs(args.output, exist_ok=True)
+    if args.test_only or args.copd:
+        args = load_args_for_testing(args.output, args)
+    else:
+        store_args(args, args.output)
+
+    ds = build_dataset(args)
+    model = build_model(args, ds)
+    loss_fn = get_loss_fn(args.loss, jnp.asarray(ds.get_class_weights()))
+
+    if args.split:
+        split = load_split_file(args.split)
+    else:
+        split = create_split(ds.ids, k=5)
+    save_split_file(split, os.path.join(args.output, "cross_val_split.json"))
+
+    cfg = TrainConfig(epochs=args.epochs, lr=args.lr, batch_size=args.batch,
+                      weight_decay=args.wd, scheduler=args.scheduler)
+
+    if args.speed:
+        fold_dir = os.path.join(args.output, "fold0")
+        model, variables = load_model(os.path.join(fold_dir, "model.fst"))
+        speed_test(ds, model, variables, args.output, args.pts)
+        return
+
+    fold_metrics = []
+    folds = range(len(split)) if args.fold is None else [args.fold]
+    for fold in folds:
+        print(f"------------ FOLD {fold} ----------------------")
+        fold_dir = os.path.join(args.output, f"fold{fold}")
+        train_ds, val_ds = ds.split_data_set(split[fold], fold_nr=fold)
+
+        if not args.test_only:
+            trainer = ModelTrainer(model, train_ds, loss_fn, fold_dir,
+                                   TrainConfig(**{**cfg.__dict__,
+                                                  "seed": cfg.seed + fold}))
+            trainer.run()
+
+        if not args.train_only:
+            _, variables = load_model(os.path.join(fold_dir, "model.fst"))
+            val_ds.do_augmentation = False
+            fold_metrics.append(test_pipeline(
+                val_ds, model.apply, variables,
+                os.path.join(fold_dir, "test"), sample_points=args.pts))
+
+    if fold_metrics:
+        from fissure_segmentation_tpu.train.cross_val import _write_cv_results
+        _write_cv_results(os.path.join(args.output, "cv_results.csv"), fold_metrics)
+
+
+if __name__ == "__main__":
+    parser = get_point_segmentation_parser()
+    args = parser.parse_args()
+    maybe_run_detached_cli(args)
+    run(args)
