@@ -44,6 +44,64 @@ def so3_exp_map(log_rot: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(theta > 1e-8, r, eye)
 
 
+def so3_log_map(r: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of so3_exp_map; (..., 3, 3) rotation -> (..., 3) axis-angle.
+
+    Counterpart of pytorch3d so3_log_map used by the reference's
+    CorrespondingPointDataset target construction (data.py:550-575).
+    """
+    cos = (jnp.trace(r, axis1=-2, axis2=-1) - 1) / 2
+    theta = jnp.arccos(jnp.clip(cos, -1 + 1e-7, 1 - 1e-7))[..., None]
+    # skew part of R gives sin(theta) * axis
+    w = jnp.stack([r[..., 2, 1] - r[..., 1, 2],
+                   r[..., 0, 2] - r[..., 2, 0],
+                   r[..., 1, 0] - r[..., 0, 1]], axis=-1) / 2
+    sin = jnp.sin(theta)
+    axis = w / jnp.maximum(sin, 1e-8)
+    return jnp.where(theta > 1e-6, axis * theta, w)  # small angle: log ≈ skew vector
+
+
+def invert_transform(t: SimilarityTransform) -> SimilarityTransform:
+    """Inverse of p' = (p @ R) * s + t: p = ((p' - t) / s) @ R^T."""
+    r_inv = jnp.swapaxes(t.rotation, -1, -2)
+    s_inv = 1.0 / t.scaling
+    t_inv = -jnp.einsum("...c,...cd->...d", t.translation * s_inv, r_inv)
+    return SimilarityTransform(r_inv, s_inv, t_inv)
+
+
+def chain_transforms(a: SimilarityTransform, b: SimilarityTransform) -> SimilarityTransform:
+    """Transform equivalent to applying `a` then `b` (isotropic scaling).
+
+    p'' = ((p @ Ra) sa + ta) @ Rb * sb + tb
+        = p @ (Ra Rb) * (sa sb) + (ta @ Rb) * sb + tb
+    """
+    rot = a.rotation @ b.rotation
+    scale = a.scaling * b.scaling
+    trans = jnp.einsum("...c,...cd->...d", a.translation, b.rotation) * b.scaling \
+        + b.translation
+    return SimilarityTransform(rot, scale, trans)
+
+
+def transform_matrix(t: SimilarityTransform) -> jnp.ndarray:
+    """(..., 4, 4) homogeneous matrix, row-vector convention ([p 1] @ M)."""
+    rs = t.rotation * t.scaling[..., None, :] if t.scaling.shape[-1] == 3 \
+        else t.rotation * t.scaling[..., None]
+    batch = rs.shape[:-2]
+    m = jnp.zeros((*batch, 4, 4), rs.dtype)
+    m = m.at[..., :3, :3].set(rs)
+    m = m.at[..., 3, :3].set(t.translation)
+    m = m.at[..., 3, 3].set(1.0)
+    return m
+
+
+def decompose_similarity_transform(t: SimilarityTransform):
+    """(log_rotation (...,3), translation (...,3), scaling (...,1)) of a
+    similarity transform — the reference's 7-dof affine target vector
+    (data.py:575-585: so3_log + translation + scale)."""
+    scale = t.scaling if t.scaling.shape[-1] == 1 else t.scaling[..., :1]
+    return so3_log_map(t.rotation), t.translation, scale
+
+
 def compose_transform(log_rotation: jnp.ndarray, translation: jnp.ndarray,
                       scaling: jnp.ndarray) -> SimilarityTransform:
     """(reference augmentations.py:78-95)"""

@@ -23,10 +23,13 @@ import numpy as np
 
 from ..utils.coords import np_grid_coords
 
-# (center, semi-axes) of the two lungs in normalized [0,1]^3 (x lateral, y ant-post, z cranio-caudal)
+# (center, semi-axes) of the two lungs in normalized [0,1]^3 (x lateral,
+# y ant-post, z cranio-caudal). Canonical orientation after preprocessing:
+# the subject's RIGHT lung is at small x (find_lobes.py:160 "smaller x is
+# right"; preprocess flips into this frame).
 _LUNGS = {
-    "left": (np.array([0.30, 0.5, 0.5]), np.array([0.17, 0.30, 0.40])),
-    "right": (np.array([0.72, 0.5, 0.5]), np.array([0.18, 0.32, 0.42])),
+    "left": (np.array([0.70, 0.5, 0.5]), np.array([0.17, 0.30, 0.40])),
+    "right": (np.array([0.28, 0.5, 0.5]), np.array([0.18, 0.32, 0.42])),
 }
 
 
@@ -156,6 +159,104 @@ def attach_gt_surfaces(case: dict, n: int = 4000, seed: int = 0) -> dict:
         for lbl in _FISSURES
     }
     return case
+
+
+def make_synthetic_meshes(case: dict, grid_n: int = 24) -> list[np.ndarray]:
+    """Triangle-soup meshes (world xyz) of the case's three fissure
+    surfaces — synthetic stand-ins for the reference's ground-truth
+    `{case}_mesh_{seq}/*.obj` files (data.py:699-716)."""
+    d, h, w = case["shape"]
+    scale = np.array([w, h, d], np.float32) - 1
+    soups = []
+    for lbl, (lung, _, _) in _FISSURES.items():
+        c, ax = _LUNGS[lung]
+        p = case["surface_params"][lbl]
+        xs = np.linspace(c[0] - ax[0], c[0] + ax[0], grid_n)
+        ys = np.linspace(c[1] - ax[1], c[1] + ax[1], grid_n)
+        xg, yg = np.meshgrid(xs, ys, indexing="ij")
+        zg = _surface_z(p, xg, yg, c[0])
+        verts = np.stack([xg, yg, zg], -1)              # (n, n, 3) in [0,1]^3
+        inside = _in_lung(verts.reshape(-1, 3), lung, margin=0.85).reshape(grid_n, grid_n)
+        tris = []
+        for i in range(grid_n - 1):
+            for j in range(grid_n - 1):
+                if inside[i:i + 2, j:j + 2].all():
+                    q = verts[i:i + 2, j:j + 2].reshape(4, 3)
+                    tris.append([q[0], q[1], q[2]])
+                    tris.append([q[1], q[3], q[2]])
+        soup = np.asarray(tris, np.float32) * scale
+        soups.append(soup)
+    return soups
+
+
+def make_synthetic_mesh_dataset(n_cases: int = 8, grid_n: int = 24,
+                                seed: int = 0, **kwargs):
+    """(cases, meshes, world sizes) triple for the mesh datasets."""
+    cases = make_synthetic_dataset(n_cases, seed=seed, **kwargs)
+    meshes = [make_synthetic_meshes(c, grid_n) for c in cases]
+    # unit spacing => world extent equals the voxel shape; xyz order (the
+    # mesh datasets' img_sizes_world convention, like sitk GetSize())
+    sizes = [np.asarray(c["shape"][::-1], np.float32) for c in cases]
+    return cases, meshes, sizes
+
+
+def make_synthetic_image_case(seed: int, shape=(64, 64, 64),
+                              noise: float = 0.05) -> dict:
+    """Rasterized synthetic CT: lungs are darker ellipsoids, fissures are
+    thin bright sheets; labels mark fissure voxels (1/2/3) and `lobes`
+    partition each lung by its fissures. Used to exercise the voxel-CNN and
+    preprocessing paths without real data."""
+    rng = np.random.default_rng(seed)
+    params = {lbl: _surface_params(rng, z0, sl)
+              for lbl, (_, z0, sl) in _FISSURES.items()}
+    d, h, w = shape
+    zz, yy, xx = np.meshgrid(np.linspace(0, 1, d), np.linspace(0, 1, h),
+                             np.linspace(0, 1, w), indexing="ij")
+    pts = np.stack([xx, yy, zz], -1).reshape(-1, 3)
+
+    lung_mask = np.zeros(len(pts), bool)
+    lung_lr = np.zeros(len(pts), np.int32)  # 1 = left, 2 = right
+    for k, lung in enumerate(("left", "right")):
+        m = _in_lung(pts, lung)
+        lung_mask |= m
+        lung_lr[m] = k + 1
+
+    img = rng.normal(0, noise, len(pts)).astype(np.float32)
+    img[lung_mask] -= 0.6  # air-filled lungs are dark
+
+    labels = np.zeros(len(pts), np.int32)
+    lobes = np.zeros(len(pts), np.int32)
+    voxel = 1.0 / max(shape)
+    for lbl, (lung, _, _) in _FISSURES.items():
+        c, _ = _LUNGS[lung]
+        zs = _surface_z(params[lbl], pts[:, 0], pts[:, 1], c[0])
+        on = (np.abs(pts[:, 2] - zs) < voxel) & _in_lung(pts, lung, 0.85)
+        labels[on & lung_mask] = lbl
+        img[on & lung_mask] += 0.35  # fissures are brighter than parenchyma
+
+    # lobes: left lung split by LOF; right lung split by ROF then RHF.
+    # Reference label convention (find_lobes.py:50-56): 1 RLL, 2 RUL,
+    # 3 LLL, 4 LUL, 5 RML.
+    zs1 = _surface_z(params[1], pts[:, 0], pts[:, 1], _LUNGS["left"][0][0])
+    zs2 = _surface_z(params[2], pts[:, 0], pts[:, 1], _LUNGS["right"][0][0])
+    zs3 = _surface_z(params[3], pts[:, 0], pts[:, 1], _LUNGS["right"][0][0])
+    left, right = lung_lr == 1, lung_lr == 2
+    lobes[left & (pts[:, 2] < zs1)] = 3
+    lobes[left & (pts[:, 2] >= zs1)] = 4
+    lobes[right & (pts[:, 2] < zs2)] = 1
+    lobes[right & (pts[:, 2] >= zs2) & (pts[:, 2] < zs3)] = 5
+    lobes[right & (pts[:, 2] >= zs2) & (pts[:, 2] >= zs3)] = 2
+
+    return {
+        "image": img.reshape(shape),
+        "labels": labels.reshape(shape),
+        "lobes": lobes.reshape(shape),
+        "lung_mask": lung_mask.reshape(shape),
+        "lung_lr": lung_lr.reshape(shape),
+        "shape": tuple(shape), "spacing": (1.0, 1.0, 1.0),
+        "surface_params": params,
+        "case_id": f"synthimg{seed:04d}", "sequence": "fixed",
+    }
 
 
 def make_synthetic_dataset(n_cases: int = 20, n_points: int = 8000,

@@ -10,8 +10,8 @@ The model is a frozen pytree of arrays (`SSMParams`) + pure functions — the
 fit is a one-shot host/numpy computation before SGD (train.py:40-67), the
 encode/decode run on device inside jitted train steps.
 
-The kernelized localized LSSM/LPCA variant (ssm.py:112-157, LPCA/) is not
-yet ported (tracked gap).
+The kernelized localized LSSM/LPCA variant (ssm.py:112-157, LPCA/) lives in
+lssm.py (`fit_lssm`) and returns the same SSMParams pytree.
 """
 from __future__ import annotations
 

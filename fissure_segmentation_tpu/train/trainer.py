@@ -1,10 +1,10 @@
 """Training loop: Adam(+wd) with cosine/plateau/none schedulers, loss-component
-history, best-model-by-val-loss snapshot.
+history, best-model-by-val-loss snapshot, optimizer-state checkpointing.
 
 TPU-first re-design of reference model_trainer.py:22-274:
   * the *whole epoch* (batch sampling, augmentation, forward/backward,
-    optimizer update) is one jitted `lax.scan` over steps — data lives in a
-    device-resident PointCloudStore, so the hot loop never touches the host;
+    optimizer update) is one jitted `lax.scan` over steps — data lives in
+    device-resident stores, so the hot loop never touches the host;
   * torch-Adam-with-weight-decay == optax add_decayed_weights *before*
     scale_by_adam (not AdamW);
   * plateau scheduler (factor 0.8, patience/cooldown ceil(0.05*epochs),
@@ -16,6 +16,23 @@ TPU-first re-design of reference model_trainer.py:22-274:
   * best model (by val total loss, ties -> later epoch) kept on host and
     written at the end (model_trainer.py:229-251) together with
     train_time.csv and a training_progression.png.
+
+Family-generic hooks (the reference hard-codes these per entry script):
+  * `batch_fn(rng, case_idx, train)` — override how batches are drawn
+    (mesh sampling for the PC-AE, corresponding-point targets for DG-SSM,
+    image patches for the CNNs); default samples the PointCloudStore.
+  * `forward_fn(variables, x, train)` — override the model application
+    (e.g. to close over frozen SSM parameters).
+  * `epoch_in_loss` — losses that change with training progress take
+    `epoch` as a traced argument (DPSR's gated mesh term, dpsr_loss.py:29).
+  * `epoch_callback(trainer, epoch)` — host-side per-epoch hook; return
+    True to rebuild the jitted epoch (DG-SSM head schedule,
+    model_trainer.py:115-120).
+
+Unlike the reference (no optimizer/scheduler state saved, no mid-run resume
+— model_trainer.py:229-251), `checkpoint_every` writes full training state
+(params, batch_stats, optimizer, histories) and `run(resume=True)` continues
+from the latest checkpoint.
 """
 from __future__ import annotations
 
@@ -23,8 +40,8 @@ import csv
 import dataclasses
 import math
 import os
+import pickle
 import time
-from functools import partial
 from typing import Callable
 
 import jax
@@ -32,7 +49,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data.dataset import PointDataset
 from ..data.store import sample_batch
 from ..models.io import save_model
 
@@ -47,6 +63,7 @@ class TrainConfig:
     val_split: float = 0.2
     seed: int = 0
     show_every: int = 50  # print frequency (epochs)
+    checkpoint_every: int | None = None  # epochs between resumable checkpoints
 
 
 class _PlateauScheduler:
@@ -74,15 +91,28 @@ class _PlateauScheduler:
             self.num_bad = 0
         return self.lr
 
+    def state_dict(self):
+        return dict(self.__dict__)
+
+    def load_state_dict(self, d):
+        self.__dict__.update(d)
+
 
 class ModelTrainer:
-    def __init__(self, model, ds: PointDataset, loss_fn: Callable, out_dir: str,
-                 config: TrainConfig = TrainConfig(), initial_variables=None):
+    def __init__(self, model, ds, loss_fn: Callable, out_dir: str,
+                 config: TrainConfig = TrainConfig(), initial_variables=None,
+                 batch_fn: Callable | None = None,
+                 forward_fn: Callable | None = None,
+                 init_fn: Callable | None = None,
+                 init_input=None, epoch_in_loss: bool = False,
+                 epoch_callback: Callable | None = None):
         self.model = model
         self.ds = ds
         self.loss_fn = loss_fn
         self.out_dir = out_dir
         self.cfg = config
+        self.epoch_in_loss = epoch_in_loss
+        self.epoch_callback = epoch_callback
         os.makedirs(out_dir, exist_ok=True)
 
         # inner 80/20 random train/val split of the fold's training set
@@ -91,8 +121,16 @@ class ModelTrainer:
         perm = rng.permutation(len(ds))
         self.val_indices = perm[:n_val].tolist()
         self.train_indices = perm[n_val:].tolist()
-        self.train_store = ds.to_store(self.train_indices)
-        self.val_store = ds.to_store(self.val_indices) if n_val else None
+
+        if batch_fn is None:
+            store = ds.to_store()
+
+            def batch_fn(rng, case_idx, train):
+                return sample_batch(rng, store, case_idx, ds.sample_points,
+                                    augment=train and ds.do_augmentation,
+                                    binary=ds.binary)
+        self.batch_fn = batch_fn
+        self.forward_fn = forward_fn
 
         n_train = len(self.train_indices)
         self.drop_last = n_train // 2 >= config.batch_size
@@ -110,17 +148,23 @@ class ModelTrainer:
                 patience=math.ceil(0.05 * config.epochs),
                 threshold=1e-4, cooldown=math.ceil(0.05 * config.epochs),
                 min_lr=self.min_lr)
-        elif config.scheduler == "cosine":
-            self.scheduler = None  # closed form, see _cosine_lr
-        elif config.scheduler == "none":
-            self.scheduler = None
+        elif config.scheduler in ("cosine", "none"):
+            self.scheduler = None  # cosine is closed form, see _cosine_lr
         else:
             raise ValueError(f'Scheduler "{config.scheduler}" undefined.')
 
         # init model + optimizer state
-        k_init = jax.random.PRNGKey(config.seed)
-        x0 = jnp.zeros((1, ds.sample_points, ds.n_features), jnp.float32)
-        variables = initial_variables or self.model.init(k_init, x0, train=False)
+        if initial_variables is None:
+            k_init = jax.random.PRNGKey(config.seed)
+            if init_input is None:
+                init_input = jnp.zeros((1, ds.sample_points, ds.n_features),
+                                       jnp.float32)
+            if init_fn is not None:
+                variables = init_fn(k_init, init_input)
+            else:
+                variables = self.model.init(k_init, init_input, train=False)
+        else:
+            variables = initial_variables
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
         self.opt_state = self.tx.init(self.params)
@@ -130,7 +174,11 @@ class ModelTrainer:
         self.best_epoch = 0
         self.best_val = float("inf")
         self.best_snapshot = None
+        self.rebuild_jit()
 
+    def rebuild_jit(self):
+        """(Re-)compile the epoch/val functions — call after mutating
+        `self.model` (e.g. activating DG-SSM heads)."""
         self._epoch_fn = jax.jit(self._epoch, donate_argnums=(0, 1, 2))
         self._val_fn = jax.jit(self._validate)
 
@@ -146,29 +194,37 @@ class ModelTrainer:
             (1 + math.cos(math.pi * epoch / cfg.epochs)) / 2
 
     # ---- jitted epoch over the train store ----
-    def _loss_and_out(self, params, batch_stats, x, y, train):
+    def _apply(self, params, batch_stats, x, train, rng=None):
         variables = {"params": params, "batch_stats": batch_stats}
+        if self.forward_fn is not None:
+            return self.forward_fn(variables, x, train)
         if train:
-            logits, mutated = self.model.apply(variables, x, train=True,
-                                               mutable=["batch_stats"])
-            new_bs = mutated["batch_stats"]
+            rngs = None if rng is None else {"dropout": rng}
+            out, mutated = self.model.apply(variables, x, train=True,
+                                            mutable=["batch_stats"],
+                                            rngs=rngs)
+            return out, mutated["batch_stats"]
+        return self.model.apply(variables, x, train=False), batch_stats
+
+    def _loss_and_out(self, params, batch_stats, x, y, train, epoch, rng=None):
+        out, new_bs = self._apply(params, batch_stats, x, train, rng)
+        if self.epoch_in_loss:
+            loss, comps = self.loss_fn(out, y, epoch=epoch)
         else:
-            logits = self.model.apply(variables, x, train=False)
-            new_bs = batch_stats
-        loss, comps = self.loss_fn(logits, y)
+            loss, comps = self.loss_fn(out, y)
         return loss, (comps, new_bs)
 
-    def _epoch(self, params, batch_stats, opt_state, case_perm, rng):
-        """case_perm: (steps, batch) indices into the train store."""
+    def _epoch(self, params, batch_stats, opt_state, case_perm, rng, epoch):
+        """case_perm: (steps, batch) indices into the dataset."""
 
         def step(carry, inp):
             params, batch_stats, opt_state = carry
             idx, r = inp
-            x, y = sample_batch(r, self.train_store, idx, self.ds.sample_points,
-                                augment=self.ds.do_augmentation,
-                                binary=self.ds.binary)
+            r_batch, r_drop = jax.random.split(r)
+            x, y = self.batch_fn(r_batch, idx, True)
             (loss, (comps, new_bs)), grads = jax.value_and_grad(
-                self._loss_and_out, has_aux=True)(params, batch_stats, x, y, True)
+                self._loss_and_out, has_aux=True)(params, batch_stats, x, y,
+                                                  True, epoch, r_drop)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, new_bs, opt_state), (loss, comps)
@@ -178,49 +234,105 @@ class ModelTrainer:
             step, (params, batch_stats, opt_state), (case_perm, rngs))
         return params, batch_stats, opt_state, losses, comps
 
-    def _validate(self, params, batch_stats, case_idx, rng):
-        x, y = sample_batch(rng, self.val_store, case_idx, self.ds.sample_points,
-                            augment=False, binary=self.ds.binary)
-        loss, (comps, _) = self._loss_and_out(params, batch_stats, x, y, False)
+    def _validate(self, params, batch_stats, case_idx, rng, epoch):
+        x, y = self.batch_fn(rng, case_idx, False)
+        loss, (comps, _) = self._loss_and_out(params, batch_stats, x, y,
+                                              False, epoch)
         return loss, comps
 
     # ---- host-side epoch orchestration ----
     def _make_perm(self, rng: np.random.Generator) -> np.ndarray:
-        n = len(self.train_indices)
+        idx = np.asarray(self.train_indices)
         b, s = self.cfg.batch_size, self.steps_per_epoch
-        perm = rng.permutation(n)
+        perm = rng.permutation(len(idx))
         need = s * b
-        if need > n:  # wrap (pad the last partial batch with re-draws)
-            perm = np.concatenate([perm, rng.permutation(n)[: need - n]])
-        return perm[:need].reshape(s, b)
+        if need > len(idx):  # wrap (pad the last partial batch with re-draws)
+            perm = np.concatenate([perm, rng.permutation(len(idx))[: need - len(idx)]])
+        return idx[perm[:need]].reshape(s, b)
 
     def _record(self, history, values: dict, epoch):
         for k, v in values.items():
             history.setdefault(k, [0.0] * self.cfg.epochs)
             history[k][epoch] = float(v)
 
-    def run(self, initial_epoch: int = 0):
+    # ---- checkpoint / resume (capability beyond the reference) ----
+    @property
+    def _ckpt_path(self):
+        return os.path.join(self.out_dir, "checkpoint.pkl")
+
+    def save_checkpoint(self, epoch: int):
+        state = {
+            "epoch": epoch,
+            "params": jax.device_get(self.params),
+            "batch_stats": jax.device_get(self.batch_stats),
+            "opt_state": jax.device_get(self.opt_state),
+            "training_history": self.training_history,
+            "validation_history": self.validation_history,
+            "best_epoch": self.best_epoch, "best_val": self.best_val,
+            "best_snapshot": self.best_snapshot,
+            "scheduler": self.scheduler.state_dict() if self.scheduler else None,
+        }
+        tmp = self._ckpt_path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(state, f)
+        os.replace(tmp, self._ckpt_path)
+
+    def load_checkpoint(self) -> int:
+        """Restore full training state; returns the next epoch to run."""
+        with open(self._ckpt_path, "rb") as f:
+            state = pickle.load(f)
+        self.params = state["params"]
+        self.batch_stats = state["batch_stats"]
+        self.opt_state = jax.tree.map(
+            lambda t, s: jnp.asarray(s) if hasattr(t, "dtype") else s,
+            self.opt_state, state["opt_state"])
+        # pad histories in case the resumed run targets more epochs
+        def _pad(h):
+            return {k: v + [0.0] * max(0, self.cfg.epochs - len(v))
+                    for k, v in h.items()}
+        self.training_history = _pad(state["training_history"])
+        self.validation_history = _pad(state["validation_history"])
+        self.best_epoch = state["best_epoch"]
+        self.best_val = state["best_val"]
+        self.best_snapshot = state["best_snapshot"]
+        if self.scheduler and state["scheduler"]:
+            self.scheduler.load_state_dict(state["scheduler"])
+        return state["epoch"] + 1
+
+    def run(self, initial_epoch: int = 0, resume: bool = False):
         cfg = self.cfg
+        if resume and os.path.exists(self._ckpt_path):
+            initial_epoch = self.load_checkpoint()
+            print(f"resuming from checkpoint at epoch {initial_epoch}")
         rng_np = np.random.default_rng(cfg.seed + 1)
         key = jax.random.PRNGKey(cfg.seed + 2)
+        # replay the host RNG streams so resumed runs see the same data order
+        for _ in range(initial_epoch):
+            self._make_perm(rng_np)
+            key, _, _ = jax.random.split(key, 3)
         training_start = time.time()
         params, batch_stats, opt_state = self.params, self.batch_stats, self.opt_state
 
         for epoch in range(initial_epoch, cfg.epochs):
             epoch_start = time.time()
+            if self.epoch_callback is not None:
+                if self.epoch_callback(self, epoch):
+                    self.rebuild_jit()
             if cfg.scheduler == "cosine":
                 opt_state.hyperparams["learning_rate"] = self._cosine_lr(epoch)
             key, k_ep, k_val = jax.random.split(key, 3)
             perm = jnp.asarray(self._make_perm(rng_np))
+            ep_dev = jnp.asarray(epoch, jnp.int32)  # traced: no per-epoch recompile
             params, batch_stats, opt_state, losses, comps = self._epoch_fn(
-                params, batch_stats, opt_state, perm, k_ep)
+                params, batch_stats, opt_state, perm, k_ep, ep_dev)
             train_vals = {"total_loss": jnp.mean(losses),
                           **{k: jnp.mean(v) for k, v in comps.items()}}
             self._record(self.training_history, train_vals, epoch)
 
-            if self.val_store is not None:
+            if self.val_indices:
                 vloss, vcomps = self._val_fn(params, batch_stats,
-                                             jnp.arange(self.val_store.n_cases), k_val)
+                                             jnp.asarray(self.val_indices),
+                                             k_val, ep_dev)
                 val_vals = {"total_loss": vloss, **vcomps}
             else:
                 val_vals = train_vals
@@ -235,6 +347,11 @@ class ModelTrainer:
                 self.best_epoch = epoch
                 self.best_snapshot = jax.device_get({"params": params,
                                                      "batch_stats": batch_stats})
+
+            if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
+                self.params, self.batch_stats, self.opt_state = \
+                    params, batch_stats, opt_state
+                self.save_checkpoint(epoch)
 
             if epoch % cfg.show_every == 0 or epoch == cfg.epochs - 1:
                 print(f"EPOCH {epoch} ({time.time() - epoch_start:.3f}s) "

@@ -1,0 +1,115 @@
+"""Matplotlib visualization helpers.
+
+Counterpart of reference visualization.py: label-overlay slice plots,
+3-D point-cloud and triangle-mesh axes, keypoint scatter — used by the test
+pipeline's per-case artifacts and the thesis-style figures. All functions
+save-to-file by default (headless Agg backend) and only `show` on request,
+matching the reference's `--show` flag behavior.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_FISSURE_COLORS = {1: "tab:red", 2: "tab:blue", 3: "tab:green",
+                   4: "tab:orange", 5: "tab:purple"}
+
+
+def _plt():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def color_for_label(lbl: int) -> str:
+    return _FISSURE_COLORS.get(int(lbl), "tab:gray")
+
+
+def plot_slice(img: np.ndarray, labels: np.ndarray | None = None,
+               axis: int = 0, index: int | None = None,
+               path: str | None = None, show: bool = False, title: str = ""):
+    """One volume slice with optional label overlay (visualization.py's
+    image+seg plots)."""
+    plt = _plt()
+    img = np.asarray(img)
+    if index is None:
+        index = img.shape[axis] // 2
+    sl = np.take(img, index, axis=axis)
+    fig, ax = plt.subplots()
+    ax.imshow(sl, cmap="gray")
+    if labels is not None:
+        lab = np.take(np.asarray(labels), index, axis=axis).astype(float)
+        lab[lab == 0] = np.nan
+        ax.imshow(lab, cmap="tab10", alpha=0.5, vmin=0, vmax=9)
+    ax.set_title(title or f"axis {axis} slice {index}")
+    ax.axis("off")
+    _finish(fig, path, show)
+
+
+def point_cloud_on_axis(ax, pc: np.ndarray, c=None, label: str = "",
+                        alpha: float = 1.0, s: float = 1.0, cmap=None):
+    """(visualization.py point_cloud_on_axis) pc: (N, 3) xyz."""
+    pc = np.asarray(pc)
+    ax.scatter(pc[:, 0], pc[:, 1], pc[:, 2], c=c, label=label, alpha=alpha,
+               s=s, cmap=cmap)
+    if label:
+        ax.legend()
+
+
+def trimesh_on_axis(ax, tris: np.ndarray, valid: np.ndarray | None = None,
+                    color="tab:blue", alpha: float = 0.4):
+    """(visualization.py trimesh_on_axis) triangle soup (T, 3, 3) xyz."""
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+    tris = np.asarray(tris)
+    if valid is not None:
+        tris = tris[np.asarray(valid)]
+    coll = Poly3DCollection(tris, alpha=alpha, facecolor=color,
+                            edgecolor="none")
+    ax.add_collection3d(coll)
+    lo, hi = tris.reshape(-1, 3).min(0), tris.reshape(-1, 3).max(0)
+    ax.set_xlim(lo[0], hi[0]); ax.set_ylim(lo[1], hi[1]); ax.set_zlim(lo[2], hi[2])
+
+
+def plot_point_cloud(pc: np.ndarray, labels: np.ndarray | None = None,
+                     path: str | None = None, show: bool = False,
+                     title: str = ""):
+    """Labeled keypoint cloud scatter (per-fissure colors)."""
+    plt = _plt()
+    fig = plt.figure()
+    ax = fig.add_subplot(111, projection="3d")
+    pc = np.asarray(pc)
+    if labels is None:
+        point_cloud_on_axis(ax, pc, c="tab:gray")
+    else:
+        labels = np.asarray(labels)
+        for lbl in np.unique(labels):
+            mask = labels == lbl
+            point_cloud_on_axis(ax, pc[mask],
+                                c=color_for_label(lbl) if lbl else "lightgray",
+                                label=f"label {lbl}", alpha=0.6 if lbl else 0.1)
+    ax.set_title(title)
+    _finish(fig, path, show)
+
+
+def plot_meshes(meshes, path: str | None = None, show: bool = False,
+                title: str = ""):
+    """List of (tris, valid) soups on one 3-D axis."""
+    plt = _plt()
+    fig = plt.figure()
+    ax = fig.add_subplot(111, projection="3d")
+    for i, (tris, valid) in enumerate(meshes):
+        trimesh_on_axis(ax, tris, valid, color=color_for_label(i + 1))
+    ax.set_title(title)
+    _finish(fig, path, show)
+
+
+def _finish(fig, path, show):
+    plt = _plt()
+    if path:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+    if show:  # pragma: no cover - interactive
+        plt.show()
+    plt.close(fig)

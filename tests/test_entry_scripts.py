@@ -1,0 +1,93 @@
+"""Smoke tests for the per-model entry scripts (train_pc_ae.py,
+train_dgcnn_ssm.py, train_dpsr_net.py, train_seg_cnn.py,
+dseg_ae_regularization.py) — tiny synthetic configs, one fold, train+test.
+The reference's equivalents are its repo-root entry scripts (SURVEY.md §1
+L7)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_train_pc_ae_entry(tmp_path):
+    import train_pc_ae
+    parser = train_pc_ae.get_pc_ae_train_parser()
+    args = parser.parse_args(
+        ["--ds", "synthetic", "--output", str(tmp_path), "--epochs", "2",
+         "--batch", "4", "--pts", "64", "--k", "8", "--latent", "32",
+         "--fold", "0", "--static", "--scheduler", "none"])
+    train_pc_ae.run(args)
+    assert os.path.exists(tmp_path / "fold0" / "model.fst")
+    assert os.path.exists(tmp_path / "fold0" / "test" /
+                          "reconstruction_chamfer.csv")
+    assert os.path.exists(tmp_path / "cv_results.csv")
+
+
+def test_train_dgcnn_ssm_entry(tmp_path):
+    import train_dgcnn_ssm
+    parser = train_dgcnn_ssm.get_dgcnn_ssm_train_parser()
+    args = parser.parse_args(
+        ["--ds", "synthetic", "--output", str(tmp_path), "--epochs", "3",
+         "--batch", "4", "--pts", "64", "--k", "8", "--fold", "0", "--static",
+         "--scheduler", "none", "--predict_affine",
+         "--head_schedule", '{"main": 0, "translation": 0, "rotation": 1, "scaling": 2}'])
+    train_dgcnn_ssm.run(args)
+    assert os.path.exists(tmp_path / "fold0" / "ssm.npz")
+    assert os.path.exists(tmp_path / "fold0" / "model.fst")
+    assert os.path.exists(tmp_path / "fold0" / "test" /
+                          "corr_point_distance.csv")
+
+
+def test_train_seg_cnn_entry(tmp_path):
+    import train_seg_cnn
+    parser = train_seg_cnn.get_seg_cnn_train_parser()
+    args = parser.parse_args(
+        ["--ds", "synthetic", "--output", str(tmp_path), "--epochs", "2",
+         "--batch", "2", "--patch_size", "32", "--spacing", "1.0",
+         "--fold", "0", "--scheduler", "none"])
+    train_seg_cnn.run(args)
+    assert os.path.exists(tmp_path / "fold0" / "model.fst")
+    assert os.path.exists(tmp_path / "fold0" / "test" / "test_dice.csv")
+
+
+@pytest.mark.slow
+def test_train_dpsr_entry(tmp_path):
+    import train_dpsr_net
+    parser = train_dpsr_net.get_dpsr_train_parser()
+    args = parser.parse_args(
+        ["--ds", "synthetic", "--output", str(tmp_path), "--epochs", "2",
+         "--batch", "2", "--pts", "128", "--k", "8", "--fold", "0", "--static",
+         "--scheduler", "none", "--res", "32", "32", "32", "--train_only"])
+    train_dpsr_net.run(args)
+    assert os.path.exists(tmp_path / "fold0" / "model.fst")
+
+
+def test_ae_reg_entry(tmp_path):
+    """Train tiny seg + AE nets via their entry points, then compose."""
+    import train_pc_ae
+    import train_point_seg
+    import dseg_ae_regularization as ae_reg
+
+    seg_dir, ae_dir = str(tmp_path / "seg"), str(tmp_path / "ae")
+    p1 = train_point_seg.get_point_segmentation_parser()
+    a1 = p1.parse_args(["--ds", "synthetic", "--output", seg_dir, "--epochs",
+                        "2", "--batch", "4", "--pts", "128", "--k", "8",
+                        "--fold", "0", "--static", "--scheduler", "none",
+                        "--train_only", "--coords"])
+    train_point_seg.run(a1)
+
+    p2 = train_pc_ae.get_pc_ae_train_parser()
+    a2 = p2.parse_args(["--ds", "synthetic", "--output", ae_dir, "--epochs",
+                        "2", "--batch", "4", "--pts", "64", "--k", "8",
+                        "--latent", "32", "--fold", "0", "--static",
+                        "--scheduler", "none", "--train_only"])
+    train_pc_ae.run(a2)
+
+    p3 = ae_reg.get_ae_reg_parser()
+    a3 = p3.parse_args(["--ds", "synthetic", "--output", str(tmp_path / "reg"),
+                        "--seg_dir", seg_dir, "--ae_dir", ae_dir])
+    ae_reg.run(a3)
+    assert os.path.exists(tmp_path / "reg" / "fold0" / "ae_reg_results.csv")
