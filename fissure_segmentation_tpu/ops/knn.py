@@ -43,9 +43,10 @@ def pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray | None = None) -> jnp.ndarray
     return d
 
 
-@functools.partial(jax.jit, static_argnames=("k", "self_loop", "return_dist", "query_chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "self_loop", "return_dist",
+                                              "query_chunk", "use_pallas"))
 def knn(x: jnp.ndarray, k: int, self_loop: bool = False, return_dist: bool = False,
-        query_chunk: int | None = None):
+        query_chunk: int | None = None, use_pallas: bool | None = None):
     """k nearest neighbors of every point within its own cloud.
 
     :param x: (..., N, C) point cloud batch (channel-last!). Note the
@@ -54,10 +55,23 @@ def knn(x: jnp.ndarray, k: int, self_loop: bool = False, return_dist: bool = Fal
     :param self_loop: include the point itself as a neighbor
     :param query_chunk: process queries in chunks of this size to bound the
         distance-matrix memory to (..., query_chunk, N). Must divide N.
+    :param use_pallas: route to the fused Pallas kernel
+        (ops/pallas/knn.py). Default (None): auto — on TPU, for <=3-D
+        inputs with few channels (coordinate graphs), where the fused
+        kernel is 2-11x faster than materialize+top_k. Pallas distances
+        may differ from this path by ~1 ulp (different but algebraically
+        equal formula), which can swap near-exact ties.
     :return: (..., N, k) int32 neighbor indices [, (..., N, k) distances]
     """
     n = x.shape[-2]
     kk = k if self_loop else k + 1
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu" and x.ndim <= 3
+                      and x.shape[-1] <= 8 and kk <= 128 and kk <= n
+                      and query_chunk is None)
+    if use_pallas:
+        from .pallas.knn import knn_pallas
+        return knn_pallas(x, k, self_loop=self_loop, return_dist=return_dist)
 
     def _topk_block(xq, xall, zero_diag_offset):
         d = pairwise_sqdist(xq, xall)

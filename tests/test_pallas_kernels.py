@@ -1,0 +1,89 @@
+"""Parity tests: Pallas kernels vs. their XLA reference implementations.
+
+On CPU the kernels run in interpreter mode (ops/_config.py), so shapes are
+kept tiny. On TPU the same assertions hold with the compiled kernels (the
+knn distance formula differs by ~1 ulp, hence the tolerance-based index
+comparison).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fissure_segmentation_tpu.ops.knn import knn
+from fissure_segmentation_tpu.ops.pallas.knn import knn_pallas
+from fissure_segmentation_tpu.ops.fps import farthest_point_sampling
+from fissure_segmentation_tpu.ops.pallas.fps import fps_pallas
+
+
+def _assert_knn_equiv(i_ref, d_ref, i_pal, d_pal):
+    """Indices must match except where near-exact distance ties flip."""
+    np.testing.assert_allclose(np.sort(d_pal, -1), np.sort(d_ref, -1),
+                               rtol=1e-5, atol=1e-5)
+    mism = np.asarray(i_ref != i_pal)
+    if mism.any():
+        # every mismatch must be a tie in distance
+        np.testing.assert_allclose(np.asarray(d_ref)[mism],
+                                   np.asarray(d_pal)[mism],
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("self_loop", [False, True])
+def test_knn_pallas_matches_xla(rng, self_loop):
+    x = jnp.asarray(rng.standard_normal((2, 70, 3)), jnp.float32)
+    i_ref, d_ref = knn(x, 5, self_loop=self_loop, return_dist=True,
+                       use_pallas=False)
+    i_pal, d_pal = knn_pallas(x, 5, self_loop=self_loop, return_dist=True,
+                              tq=64, tk=64)
+    _assert_knn_equiv(i_ref, d_ref, i_pal, d_pal)
+
+
+def test_knn_pallas_padding_and_tiling(rng):
+    # N not a multiple of the tile sizes -> exercises the padding masks
+    x = jnp.asarray(rng.standard_normal((1, 150, 3)), jnp.float32)
+    i_ref, d_ref = knn(x, 7, return_dist=True, use_pallas=False)
+    i_pal, d_pal = knn_pallas(x, 7, return_dist=True, tq=64, tk=64)
+    _assert_knn_equiv(i_ref, d_ref, i_pal, d_pal)
+
+
+def test_knn_pallas_2d_input(rng):
+    x = jnp.asarray(rng.standard_normal((40, 3)), jnp.float32)
+    i_ref = knn(x, 4, use_pallas=False)
+    i_pal = knn_pallas(x, 4, tq=64, tk=64)
+    assert i_pal.shape == i_ref.shape
+    d_ref = knn(x, 4, return_dist=True, use_pallas=False)[1]
+    d_pal = knn_pallas(x, 4, return_dist=True, tq=64, tk=64)[1]
+    _assert_knn_equiv(i_ref, d_ref, i_pal, d_pal)
+
+
+def test_fps_pallas_matches_xla(rng):
+    p = jnp.asarray(rng.standard_normal((2, 140, 3)), jnp.float32)
+    f_ref = farthest_point_sampling(p, 9, use_pallas=False)
+    f_pal = fps_pallas(p, 9)
+    np.testing.assert_array_equal(np.asarray(f_ref), np.asarray(f_pal))
+
+
+def test_fps_pallas_masked(rng):
+    p = jnp.asarray(rng.standard_normal((2, 140, 3)), jnp.float32)
+    mask = jnp.asarray(rng.random((2, 140)) > 0.4)
+    f_ref = farthest_point_sampling(p, 9, mask, use_pallas=False)
+    f_pal = fps_pallas(p, 9, mask)
+    np.testing.assert_array_equal(np.asarray(f_ref), np.asarray(f_pal))
+    # masked-out points are never selected
+    assert bool(jnp.all(jnp.take_along_axis(mask, f_pal, axis=1)))
+
+
+def test_fps_pallas_2d_input(rng):
+    p = jnp.asarray(rng.standard_normal((70, 3)), jnp.float32)
+    f_ref = farthest_point_sampling(p, 5, use_pallas=False)
+    f_pal = fps_pallas(p, 5)
+    np.testing.assert_array_equal(np.asarray(f_ref), np.asarray(f_pal))
+
+
+def test_dispatchers_auto_route(rng):
+    """knn/fps auto-dispatch must be a no-op on CPU (XLA path)."""
+    x = jnp.asarray(rng.standard_normal((2, 50, 3)), jnp.float32)
+    assert jnp.all(knn(x, 4) == knn(x, 4, use_pallas=False))
+    p = jnp.asarray(rng.standard_normal((2, 50, 3)), jnp.float32)
+    assert jnp.all(farthest_point_sampling(p, 6)
+                   == farthest_point_sampling(p, 6, use_pallas=False))

@@ -16,8 +16,10 @@ def test_train_and_infer_e2e(tmp_path):
     ds = PointDataset(cases, sample_points=512)
     model = DGCNNSeg(k=10, in_features=4, num_classes=4, dynamic=False)
     loss_fn = get_loss_fn("nnunet", jnp.asarray(ds.get_class_weights()))
-    cfg = TrainConfig(epochs=30, lr=1e-3, batch_size=8, scheduler="cosine",
-                      show_every=10, seed=0)
+    # 60 epochs: the val-loss knee on this synthetic realization is ~ep 40
+    # (8 cases / batch 8 = 1 step per epoch); 30 was under the knee.
+    cfg = TrainConfig(epochs=60, lr=1e-3, batch_size=8, scheduler="cosine",
+                      show_every=20, seed=0)
     trainer = ModelTrainer(model, ds, loss_fn, str(tmp_path), cfg)
     variables = trainer.run()
 
