@@ -130,14 +130,32 @@ def assd_statistics(dist_xy: jnp.ndarray, dist_yx: jnp.ndarray):
 
 def mesh_metrics_from_point_sets(pred_pts: jnp.ndarray, gt_pts: jnp.ndarray,
                                  pred_tris: jnp.ndarray | None = None,
-                                 gt_tris: jnp.ndarray | None = None):
+                                 gt_tris: jnp.ndarray | None = None,
+                                 host: bool | None = None):
     """ASSD family between a predicted and a GT surface.
 
     If triangles are given, uses exact point->mesh distances both ways;
     otherwise falls back to dense point-set nearest-neighbor distances
     (valid when both sets densely sample their surfaces).
+
+    :param host: compute the point->mesh distances with the native C++ BVH
+        (O(N log T), native/) instead of the device O(N*T) XLA kernel.
+        Default: use native when available — evaluation runs on the host
+        anyway, and the BVH spares the chip for inference work.
     """
     if pred_tris is not None and gt_tris is not None:
+        if host is None:
+            from . import native
+            host = native.available()
+        if host:
+            from . import native
+            import numpy as np
+            d_xy = jnp.asarray(native.point_mesh_distance(
+                np.asarray(gt_pts), np.asarray(gt_tris), np.asarray(pred_pts)))
+            d_yx = jnp.asarray(native.point_mesh_distance(
+                np.asarray(pred_pts), np.asarray(pred_tris),
+                np.asarray(gt_pts)))
+            return assd_statistics(d_xy, d_yx)
         d_xy = point_surface_distance(pred_pts, gt_pts, gt_tris)
         d_yx = point_surface_distance(gt_pts, pred_pts, pred_tris)
     else:

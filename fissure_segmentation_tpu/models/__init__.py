@@ -10,6 +10,8 @@ from .dpsr_net import DPSRNet2  # noqa: F401
 from .seg_cnn import MobileNetASPP, predict_all_patches  # noqa: F401
 from .lraspp_3d import LRASPPMobileNetV33D  # noqa: F401
 from .dseg_ae import RegularizedSegDGCNN  # noqa: F401
+from .affine import (AffineDGCNN, AffineOpenDGCNN, AffinePointNet,  # noqa: F401
+                     AFFINE_MODELS, PointNetCls)
 
 for _cls in (DGCNNFoldingNet, DGSSM, DPSRNet2, MobileNetASPP,
              LRASPPMobileNetV33D):

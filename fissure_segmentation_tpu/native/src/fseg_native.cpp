@@ -1,0 +1,452 @@
+// fseg_native: host-side native runtime kernels for the TPU fissure
+// segmentation framework.
+//
+// The reference delegates its host-side heavy lifting to third-party C++
+// (Open3D RaycastingScene for point->mesh distance metrics.py:11-25,
+// Open3D Poisson + mesh surgery utils/general_utils.py:157-209, scipy/
+// SimpleITK morphology). This module provides the equivalent native
+// components without those dependencies:
+//
+//   fseg_cc_label_3d        26-connected components (two-pass union-find)
+//   fseg_point_mesh_dist    closest point->triangle-mesh distance via a
+//                           median-split AABB BVH (branch & bound)
+//   fseg_voxelize_tris      conservative triangle->voxel rasterization
+//                           (exact SAT triangle/box overlap)
+//   fseg_binary_dilate_3d   iterated 6-connected binary dilation
+//
+// Exposed as a plain C ABI consumed through ctypes (native/__init__.py).
+// All grids are contiguous zyx (D, H, W); points/vertices are xyz floats.
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+#include <numeric>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Union-find connected components, 26-connectivity.
+// grid: nz*ny*nx uint8 (nonzero = foreground). labels: int32 out, 0 = bg,
+// components numbered 1..n by first scan order. Returns n.
+// ---------------------------------------------------------------------------
+static int32_t uf_find(std::vector<int32_t> &p, int32_t i) {
+    while (p[(size_t)i] != i) {
+        p[(size_t)i] = p[(size_t)p[(size_t)i]];
+        i = p[(size_t)i];
+    }
+    return i;
+}
+
+int32_t fseg_cc_label_3d(const uint8_t *grid, int64_t nz, int64_t ny,
+                         int64_t nx, int32_t *labels) {
+    const int64_t n = nz * ny * nx;
+    std::vector<int32_t> parent;
+    parent.reserve(1024);
+    parent.push_back(0);  // dummy for background label 0
+    std::memset(labels, 0, sizeof(int32_t) * (size_t)n);
+
+    // Raster scan; union with the 13 already-visited neighbors of the
+    // 26-neighborhood (dz,dy,dx) < (0,0,0) in scan order.
+    for (int64_t z = 0; z < nz; ++z) {
+        for (int64_t y = 0; y < ny; ++y) {
+            for (int64_t x = 0; x < nx; ++x) {
+                const int64_t i = (z * ny + y) * nx + x;
+                if (!grid[i]) continue;
+                int32_t lab = 0;
+                for (int dz = -1; dz <= 0; ++dz) {
+                    for (int dy = -1; dy <= 1; ++dy) {
+                        for (int dx = -1; dx <= 1; ++dx) {
+                            if (dz == 0 && (dy > 0 || (dy == 0 && dx >= 0)))
+                                continue;
+                            const int64_t zz = z + dz, yy = y + dy, xx = x + dx;
+                            if (zz < 0 || yy < 0 || yy >= ny || xx < 0 ||
+                                xx >= nx)
+                                continue;
+                            const int32_t nl =
+                                labels[(zz * ny + yy) * nx + xx];
+                            if (!nl) continue;
+                            if (!lab) {
+                                lab = uf_find(parent, nl);
+                            } else {
+                                int32_t r = uf_find(parent, nl);
+                                int32_t l = uf_find(parent, lab);
+                                if (r != l) parent[(size_t)std::max(r, l)] =
+                                    std::min(r, l);
+                                lab = std::min(r, l);
+                            }
+                        }
+                    }
+                }
+                if (!lab) {
+                    lab = (int32_t)parent.size();
+                    parent.push_back(lab);
+                }
+                labels[i] = lab;
+            }
+        }
+    }
+    // Flatten + renumber compactly.
+    std::vector<int32_t> remap(parent.size(), 0);
+    int32_t next = 0;
+    for (size_t i = 1; i < parent.size(); ++i) {
+        int32_t r = uf_find(parent, (int32_t)i);
+        if (remap[(size_t)r] == 0) remap[(size_t)r] = ++next;
+    }
+    for (int64_t i = 0; i < n; ++i)
+        if (labels[i]) labels[i] = remap[(size_t)uf_find(parent, labels[i])];
+    return next;
+}
+
+// ---------------------------------------------------------------------------
+// Point -> triangle-mesh distance via AABB BVH.
+// ---------------------------------------------------------------------------
+struct BvhNode {
+    float lo[3], hi[3];
+    int32_t left;   // child index, or -1 for leaf
+    int32_t right;  // child index; for leaves: [start, count) into tri order
+    int32_t start, count;
+};
+
+static inline float sq(float v) { return v * v; }
+
+static inline float box_sqdist(const BvhNode &b, const float *p) {
+    float d = 0.f;
+    for (int k = 0; k < 3; ++k) {
+        if (p[k] < b.lo[k]) d += sq(b.lo[k] - p[k]);
+        else if (p[k] > b.hi[k]) d += sq(p[k] - b.hi[k]);
+    }
+    return d;
+}
+
+// Exact point-to-triangle squared distance (Eberly-style, branch-reduced).
+static float tri_sqdist(const float *p, const float *a, const float *b,
+                        const float *c) {
+    float ab[3], ac[3], ap[3];
+    for (int k = 0; k < 3; ++k) {
+        ab[k] = b[k] - a[k];
+        ac[k] = c[k] - a[k];
+        ap[k] = p[k] - a[k];
+    }
+    const float d1 = ab[0] * ap[0] + ab[1] * ap[1] + ab[2] * ap[2];
+    const float d2 = ac[0] * ap[0] + ac[1] * ap[1] + ac[2] * ap[2];
+    if (d1 <= 0.f && d2 <= 0.f)
+        return sq(ap[0]) + sq(ap[1]) + sq(ap[2]);  // vertex a
+
+    float bp[3];
+    for (int k = 0; k < 3; ++k) bp[k] = p[k] - b[k];
+    const float d3 = ab[0] * bp[0] + ab[1] * bp[1] + ab[2] * bp[2];
+    const float d4 = ac[0] * bp[0] + ac[1] * bp[1] + ac[2] * bp[2];
+    if (d3 >= 0.f && d4 <= d3)
+        return sq(bp[0]) + sq(bp[1]) + sq(bp[2]);  // vertex b
+
+    // NOTE: region checks below follow Ericson's exact order — they are
+    // order-dependent (each relies on the previous exclusions; reordering
+    // breaks obtuse triangles).
+    const float vc = d1 * d4 - d3 * d2;
+    if (vc <= 0.f && d1 >= 0.f && d3 <= 0.f) {  // edge ab
+        const float v = d1 / (d1 - d3);
+        float s = 0.f;
+        for (int k = 0; k < 3; ++k) {
+            const float q = ap[k] - v * ab[k];
+            s += q * q;
+        }
+        return s;
+    }
+
+    float cp[3];
+    for (int k = 0; k < 3; ++k) cp[k] = p[k] - c[k];
+    const float d5 = ab[0] * cp[0] + ab[1] * cp[1] + ab[2] * cp[2];
+    const float d6 = ac[0] * cp[0] + ac[1] * cp[1] + ac[2] * cp[2];
+    if (d6 >= 0.f && d5 <= d6)
+        return sq(cp[0]) + sq(cp[1]) + sq(cp[2]);  // vertex c
+    const float vb = d5 * d2 - d1 * d6;
+    if (vb <= 0.f && d2 >= 0.f && d6 <= 0.f) {  // edge ac
+        const float w = d2 / (d2 - d6);
+        float s = 0.f;
+        for (int k = 0; k < 3; ++k) {
+            const float q = ap[k] - w * ac[k];
+            s += q * q;
+        }
+        return s;
+    }
+    const float va = d3 * d6 - d5 * d4;
+    if (va <= 0.f && (d4 - d3) >= 0.f && (d5 - d6) >= 0.f) {  // edge bc
+        const float w = (d4 - d3) / ((d4 - d3) + (d5 - d6));
+        float s = 0.f;
+        for (int k = 0; k < 3; ++k) {
+            const float q = bp[k] - w * (c[k] - b[k]);
+            s += q * q;
+        }
+        return s;
+    }
+    const float denom = 1.f / (va + vb + vc);
+    const float v = vb * denom, w = vc * denom;
+    float s = 0.f;
+    for (int k = 0; k < 3; ++k) {
+        const float q = ap[k] - (v * ab[k] + w * ac[k]);
+        s += q * q;
+    }
+    return s;
+}
+
+struct Bvh {
+    std::vector<BvhNode> nodes;
+    std::vector<int32_t> order;       // permuted triangle ids
+    std::vector<float> tv;            // (T, 9) triangle verts in `order`
+};
+
+static int32_t bvh_build_rec(Bvh &bvh, std::vector<float> &cent,
+                             std::vector<float> &tmin, std::vector<float> &tmax,
+                             int32_t start, int32_t count) {
+    const int32_t idx = (int32_t)bvh.nodes.size();
+    bvh.nodes.push_back(BvhNode());
+    BvhNode nd;
+    for (int k = 0; k < 3; ++k) {
+        nd.lo[k] = 1e30f;
+        nd.hi[k] = -1e30f;
+    }
+    for (int32_t i = start; i < start + count; ++i) {
+        const int32_t t = bvh.order[(size_t)i];
+        for (int k = 0; k < 3; ++k) {
+            nd.lo[k] = std::min(nd.lo[k], tmin[(size_t)t * 3 + k]);
+            nd.hi[k] = std::max(nd.hi[k], tmax[(size_t)t * 3 + k]);
+        }
+    }
+    if (count <= 4) {
+        nd.left = -1;
+        nd.right = -1;
+        nd.start = start;
+        nd.count = count;
+        bvh.nodes[(size_t)idx] = nd;
+        return idx;
+    }
+    // split along the widest centroid axis at the median
+    int axis = 0;
+    float best = -1.f;
+    float clo[3] = {1e30f, 1e30f, 1e30f}, chi[3] = {-1e30f, -1e30f, -1e30f};
+    for (int32_t i = start; i < start + count; ++i) {
+        const int32_t t = bvh.order[(size_t)i];
+        for (int k = 0; k < 3; ++k) {
+            clo[k] = std::min(clo[k], cent[(size_t)t * 3 + k]);
+            chi[k] = std::max(chi[k], cent[(size_t)t * 3 + k]);
+        }
+    }
+    for (int k = 0; k < 3; ++k)
+        if (chi[k] - clo[k] > best) {
+            best = chi[k] - clo[k];
+            axis = k;
+        }
+    const int32_t mid = start + count / 2;
+    std::nth_element(
+        bvh.order.begin() + start, bvh.order.begin() + mid,
+        bvh.order.begin() + start + count, [&](int32_t a, int32_t b) {
+            return cent[(size_t)a * 3 + axis] < cent[(size_t)b * 3 + axis];
+        });
+    nd.start = start;
+    nd.count = count;
+    nd.left = bvh_build_rec(bvh, cent, tmin, tmax, start, mid - start);
+    nd.right = bvh_build_rec(bvh, cent, tmin, tmax, mid, start + count - mid);
+    bvh.nodes[(size_t)idx] = nd;
+    return idx;
+}
+
+static void bvh_build(Bvh &bvh, const float *verts, const int32_t *tris,
+                      int64_t nt) {
+    std::vector<float> cent((size_t)nt * 3), tmin((size_t)nt * 3),
+        tmax((size_t)nt * 3);
+    for (int64_t t = 0; t < nt; ++t) {
+        for (int k = 0; k < 3; ++k) {
+            float lo = 1e30f, hi = -1e30f, c = 0.f;
+            for (int v = 0; v < 3; ++v) {
+                const float val = verts[(size_t)tris[t * 3 + v] * 3 + k];
+                lo = std::min(lo, val);
+                hi = std::max(hi, val);
+                c += val;
+            }
+            cent[(size_t)t * 3 + k] = c / 3.f;
+            tmin[(size_t)t * 3 + k] = lo;
+            tmax[(size_t)t * 3 + k] = hi;
+        }
+    }
+    bvh.order.resize((size_t)nt);
+    std::iota(bvh.order.begin(), bvh.order.end(), 0);
+    bvh.nodes.reserve((size_t)(2 * nt / 4 + 16));
+    bvh_build_rec(bvh, cent, tmin, tmax, 0, (int32_t)nt);
+    // pack triangle vertices in traversal order for cache-friendly leaves
+    bvh.tv.resize((size_t)nt * 9);
+    for (int64_t i = 0; i < nt; ++i) {
+        const int32_t t = bvh.order[(size_t)i];
+        for (int v = 0; v < 3; ++v)
+            for (int k = 0; k < 3; ++k)
+                bvh.tv[(size_t)i * 9 + v * 3 + k] =
+                    verts[(size_t)tris[t * 3 + v] * 3 + k];
+    }
+}
+
+// verts (nv,3) float xyz; tris (nt,3) int32; queries (nq,3) -> out (nq,)
+void fseg_point_mesh_dist(const float *verts, int64_t nv, const int32_t *tris,
+                          int64_t nt, const float *queries, int64_t nq,
+                          float *out) {
+    (void)nv;
+    if (nt == 0) {
+        for (int64_t q = 0; q < nq; ++q) out[q] = INFINITY;
+        return;
+    }
+    Bvh bvh;
+    bvh_build(bvh, verts, tris, nt);
+
+    std::vector<int32_t> stack(128);
+    for (int64_t q = 0; q < nq; ++q) {
+        const float *p = queries + q * 3;
+        float best = 1e30f;
+        int sp = 0;
+        stack[(size_t)sp++] = 0;
+        while (sp) {
+            const BvhNode &nd = bvh.nodes[(size_t)stack[(size_t)--sp]];
+            if (box_sqdist(nd, p) >= best) continue;
+            if (nd.left < 0) {
+                for (int32_t i = nd.start; i < nd.start + nd.count; ++i) {
+                    const float *tvp = &bvh.tv[(size_t)i * 9];
+                    best = std::min(best,
+                                    tri_sqdist(p, tvp, tvp + 3, tvp + 6));
+                }
+            } else {
+                // visit nearer child first for tighter pruning
+                const float dl = box_sqdist(bvh.nodes[(size_t)nd.left], p);
+                const float dr = box_sqdist(bvh.nodes[(size_t)nd.right], p);
+                if ((size_t)sp + 2 > stack.size()) stack.resize(stack.size() * 2);
+                if (dl < dr) {
+                    stack[(size_t)sp++] = nd.right;
+                    stack[(size_t)sp++] = nd.left;
+                } else {
+                    stack[(size_t)sp++] = nd.left;
+                    stack[(size_t)sp++] = nd.right;
+                }
+            }
+        }
+        out[q] = std::sqrt(std::max(best, 0.f));
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Conservative triangle voxelization (separating axis test, Akenine-Moller).
+// tris: (nt, 3, 3) float, xyz *voxel* coordinates; labels every voxel whose
+// unit cube overlaps a valid triangle. Grid is zyx (nz, ny, nx).
+// ---------------------------------------------------------------------------
+static bool axis_test(const float a[3], const float v0[3], const float v1[3],
+                      const float v2[3], const float h[3]) {
+    const float p0 = a[0] * v0[0] + a[1] * v0[1] + a[2] * v0[2];
+    const float p1 = a[0] * v1[0] + a[1] * v1[1] + a[2] * v1[2];
+    const float p2 = a[0] * v2[0] + a[1] * v2[1] + a[2] * v2[2];
+    const float r = h[0] * std::fabs(a[0]) + h[1] * std::fabs(a[1]) +
+                    h[2] * std::fabs(a[2]);
+    const float mn = std::min(p0, std::min(p1, p2));
+    const float mx = std::max(p0, std::max(p1, p2));
+    return mn > r || mx < -r;
+}
+
+static bool tri_box_overlap(const float c[3], const float h[3],
+                            const float *t0, const float *t1, const float *t2) {
+    float v0[3], v1[3], v2[3];
+    for (int k = 0; k < 3; ++k) {
+        v0[k] = t0[k] - c[k];
+        v1[k] = t1[k] - c[k];
+        v2[k] = t2[k] - c[k];
+    }
+    // box-axes tests
+    for (int k = 0; k < 3; ++k) {
+        const float mn = std::min(v0[k], std::min(v1[k], v2[k]));
+        const float mx = std::max(v0[k], std::max(v1[k], v2[k]));
+        if (mn > h[k] || mx < -h[k]) return false;
+    }
+    float e0[3], e1[3], e2[3];
+    for (int k = 0; k < 3; ++k) {
+        e0[k] = v1[k] - v0[k];
+        e1[k] = v2[k] - v1[k];
+        e2[k] = v0[k] - v2[k];
+    }
+    // 9 cross-product axes
+    const float *es[3] = {e0, e1, e2};
+    for (int i = 0; i < 3; ++i) {
+        const float *e = es[i];
+        const float ax0[3] = {0.f, -e[2], e[1]};
+        const float ax1[3] = {e[2], 0.f, -e[0]};
+        const float ax2[3] = {-e[1], e[0], 0.f};
+        if (axis_test(ax0, v0, v1, v2, h)) return false;
+        if (axis_test(ax1, v0, v1, v2, h)) return false;
+        if (axis_test(ax2, v0, v1, v2, h)) return false;
+    }
+    // triangle plane test
+    const float nrm[3] = {e0[1] * e1[2] - e0[2] * e1[1],
+                          e0[2] * e1[0] - e0[0] * e1[2],
+                          e0[0] * e1[1] - e0[1] * e1[0]};
+    const float d = -(nrm[0] * v0[0] + nrm[1] * v0[1] + nrm[2] * v0[2]);
+    const float r = h[0] * std::fabs(nrm[0]) + h[1] * std::fabs(nrm[1]) +
+                    h[2] * std::fabs(nrm[2]);
+    return std::fabs(d) <= r;
+}
+
+void fseg_voxelize_tris(const float *tris, const uint8_t *valid, int64_t nt,
+                        int64_t nz, int64_t ny, int64_t nx, uint8_t label,
+                        uint8_t *out) {
+    const float h[3] = {0.5f, 0.5f, 0.5f};
+    for (int64_t t = 0; t < nt; ++t) {
+        if (valid && !valid[t]) continue;
+        const float *t0 = tris + t * 9, *t1 = t0 + 3, *t2 = t0 + 6;
+        float lo[3], hi[3];
+        for (int k = 0; k < 3; ++k) {
+            lo[k] = std::min(t0[k], std::min(t1[k], t2[k]));
+            hi[k] = std::max(t0[k], std::max(t1[k], t2[k]));
+        }
+        // xyz voxel coords; voxel (ix,iy,iz) spans center (ix,iy,iz)+-0.5
+        // ... but labelmap convention is floor(): voxel i covers [i, i+1).
+        const int64_t x0 = std::max<int64_t>(0, (int64_t)std::floor(lo[0]));
+        const int64_t x1 = std::min<int64_t>(nx - 1, (int64_t)std::floor(hi[0]));
+        const int64_t y0 = std::max<int64_t>(0, (int64_t)std::floor(lo[1]));
+        const int64_t y1 = std::min<int64_t>(ny - 1, (int64_t)std::floor(hi[1]));
+        const int64_t z0 = std::max<int64_t>(0, (int64_t)std::floor(lo[2]));
+        const int64_t z1 = std::min<int64_t>(nz - 1, (int64_t)std::floor(hi[2]));
+        for (int64_t z = z0; z <= z1; ++z)
+            for (int64_t y = y0; y <= y1; ++y)
+                for (int64_t x = x0; x <= x1; ++x) {
+                    const float c[3] = {(float)x + 0.5f, (float)y + 0.5f,
+                                        (float)z + 0.5f};
+                    if (tri_box_overlap(c, h, t0, t1, t2))
+                        out[(z * ny + y) * nx + x] = label;
+                }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Iterated 6-connected binary dilation (scipy binary_dilation default
+// structure = connectivity-1), uint8 in/out, zyx grid.
+// ---------------------------------------------------------------------------
+void fseg_binary_dilate_3d(const uint8_t *in, int64_t nz, int64_t ny,
+                           int64_t nx, int32_t iters, uint8_t *out) {
+    const int64_t n = nz * ny * nx;
+    std::vector<uint8_t> buf(in, in + n);
+    std::vector<uint8_t> nxt((size_t)n);
+    for (int32_t it = 0; it < iters; ++it) {
+        for (int64_t z = 0; z < nz; ++z)
+            for (int64_t y = 0; y < ny; ++y)
+                for (int64_t x = 0; x < nx; ++x) {
+                    const int64_t i = (z * ny + y) * nx + x;
+                    uint8_t v = buf[(size_t)i];
+                    if (!v) {
+                        if (z > 0) v |= buf[(size_t)(i - ny * nx)];
+                        if (!v && z < nz - 1) v |= buf[(size_t)(i + ny * nx)];
+                        if (!v && y > 0) v |= buf[(size_t)(i - nx)];
+                        if (!v && y < ny - 1) v |= buf[(size_t)(i + nx)];
+                        if (!v && x > 0) v |= buf[(size_t)(i - 1)];
+                        if (!v && x < nx - 1) v |= buf[(size_t)(i + 1)];
+                    }
+                    nxt[(size_t)i] = v ? 1 : 0;
+                }
+        buf.swap(nxt);
+    }
+    std::memcpy(out, buf.data(), (size_t)n);
+}
+
+}  // extern "C"

@@ -35,20 +35,26 @@ def keep_largest_component(sign_grid: np.ndarray, right: bool | None = None,
     """Largest 26-connected inside-region of a boolean grid (zyx), with the
     reference's left/right preference (general_utils.py:171-209): components
     whose center is in the wrong body half get score -1/size.
+
+    Connected components run in the native C++ runtime (native/), falling
+    back to scipy.ndimage.
     """
-    from scipy import ndimage
-    labels, n = ndimage.label(sign_grid, structure=np.ones((3, 3, 3)))
+    from .. import native
+    labels, n = native.cc_label_3d(np.asarray(sign_grid))
     if n == 0:
-        return sign_grid
-    sizes = ndimage.sum_labels(np.ones_like(labels), labels, index=np.arange(1, n + 1))
-    scores = sizes.astype(np.float64)
+        return np.asarray(sign_grid, bool)
+    idx = np.arange(1, n + 1)
+    sizes = np.bincount(labels.ravel(), minlength=n + 1)[1:].astype(np.float64)
+    scores = sizes.copy()
     if right is not None and center_x is not None:
-        centers = ndimage.center_of_mass(sign_grid, labels, np.arange(1, n + 1))
-        for c, com in enumerate(centers):
-            x = com[2]  # zyx -> x
-            if (right and x > center_x) or (not right and x < center_x):
-                scores[c] = -1.0 / max(sizes[c], 1)
-    keep = 1 + int(np.argmax(scores))
+        # x center of mass per component (zyx grid -> axis 2)
+        xs = np.broadcast_to(np.arange(labels.shape[2]), labels.shape)
+        xsum = np.bincount(labels.ravel(), weights=xs.ravel(),
+                           minlength=n + 1)[1:]
+        xcom = xsum / np.maximum(sizes, 1)
+        wrong = (xcom > center_x) if right else (xcom < center_x)
+        scores[wrong] = -1.0 / np.maximum(sizes[wrong], 1)
+    keep = idx[int(np.argmax(scores))]
     return labels == keep
 
 
@@ -96,10 +102,10 @@ def pointcloud_surface_fitting(points_world: np.ndarray, shape,
         (np.array(grid_res, np.float64) - 1)
 
     if mask is not None:
-        from scipy import ndimage
+        from .. import native
         m = np.asarray(mask, bool)
         if mask_dilate_radius > 0:
-            m = ndimage.binary_dilation(m, iterations=mask_dilate_radius)
+            m = native.binary_dilate_3d(m, mask_dilate_radius).astype(bool)
         # resample mask onto the PSR grid (nearest)
         gz, gy, gx = np.meshgrid(*[np.arange(r) for r in grid_res], indexing="ij")
         mz = np.clip((gz * scale_zyx[0]).round().astype(int), 0, d - 1)
@@ -175,12 +181,25 @@ def poisson_reconstruction(fissures: np.ndarray, mask: np.ndarray | None = None,
 
 
 def mesh_to_labelmap(meshes, shape, n_samples: int = 10 ** 6,
-                     seed: int = 0) -> np.ndarray:
-    """Sample surfaces densely and scatter into a labelmap
-    (surface_fitting.py:144-163; world xyz == voxel coords here)."""
+                     seed: int = 0, exact: bool | None = None) -> np.ndarray:
+    """Rasterize surfaces into a labelmap (surface_fitting.py:144-163; world
+    xyz == voxel coords here).
+
+    :param exact: exact conservative triangle->voxel rasterization in the
+        native C++ runtime (every voxel cube touched by a triangle). Default:
+        whenever the native library is available. exact=False reproduces the
+        reference's dense-random-sampling approximation.
+    """
+    from .. import native
+    if exact is None:
+        exact = native.available()
     label = np.zeros(shape, np.uint8)
     for i, (tris, valid) in enumerate(meshes):
         if not np.any(valid):
+            continue
+        if exact:
+            native.voxelize_triangles(np.asarray(tris), np.asarray(valid),
+                                      shape, i + 1, out=label)
             continue
         pts = np.asarray(sample_points_on_triangles(
             jax.random.PRNGKey(seed + i), jnp.asarray(tris),
