@@ -8,10 +8,15 @@ onto the MXU with no layout shuffling.
 BatchNorm matches torch defaults (momentum 0.1 -> flax momentum 0.9,
 eps 1e-5); Dense layers use xavier-normal init / zero bias like the
 reference's init_weights (utils/model_utils.py:11-15).
+
+`dtype` (optional, e.g. jnp.bfloat16) sets the *compute* dtype of the Dense
+matmuls and norms while parameters stay float32 — the TPU analog of the
+reference's AMP autocast (model_trainer.py:92): bf16 feeds the MXU at 2x
+f32 rate on v5e. Pass dtype=None (default) for full f32.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -28,13 +33,16 @@ class SharedMLP(nn.Module):
     features: int
     negative_slope: float = 0.2
     last_layer: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Dense(self.features, use_bias=self.last_layer, kernel_init=xavier_normal)(x)
+        x = nn.Dense(self.features, use_bias=self.last_layer,
+                     kernel_init=xavier_normal, dtype=self.dtype)(x)
         if not self.last_layer:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                             axis_name=None)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, axis_name=None,
+                             dtype=self.dtype)(x)
             x = nn.leaky_relu(x, self.negative_slope)
         return x
 
@@ -44,9 +52,11 @@ class MLPStack(nn.Module):
     slope 0.01; DGCNN stacks use 0.2)."""
     features: Sequence[int]
     negative_slope: float = 0.2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         for f in self.features:
-            x = SharedMLP(f, negative_slope=self.negative_slope)(x, train)
+            x = SharedMLP(f, negative_slope=self.negative_slope,
+                          dtype=self.dtype)(x, train)
         return x

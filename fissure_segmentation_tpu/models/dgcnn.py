@@ -17,7 +17,7 @@ shared MLP is a Dense over the last axis of the (B, N, k, C) edge tensor
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -32,6 +32,7 @@ class EdgeConv(nn.Module):
     features: Sequence[int]
     k: int
     first_layer: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, fixed_knn_graph=None, train: bool = False):
@@ -41,8 +42,10 @@ class EdgeConv(nn.Module):
         else:
             idx = fixed_knn_graph
         e = edge_features(x, idx)  # (B, N, k, 2C)
+        if self.dtype is not None:
+            e = e.astype(self.dtype)
         for f in self.features:
-            e = SharedMLP(f)(e, train)
+            e = SharedMLP(f, dtype=self.dtype)(e, train)
         return jnp.max(e, axis=-2)  # max over neighbors -> (B, N, C')
 
 
@@ -93,6 +96,7 @@ class DGCNNBase(nn.Module):
     spatial_transformer: bool = False
     dynamic: bool = True
     image_feat_module: bool = False
+    dtype: Any = None
 
     def _common(self, x, train):
         """Shared stem: static graph + image features + spatial transformer
@@ -113,18 +117,20 @@ class DGCNNSeg(DGCNNBase):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         x, graph = self._common(x, train)
-        x1 = EdgeConv([64, 64], self.k, first_layer=True)(x, graph, train)
-        x2 = EdgeConv([64], self.k)(x1, graph, train)
-        x3 = EdgeConv([64], self.k)(x2, graph, train)
+        dt = self.dtype
+        x1 = EdgeConv([64, 64], self.k, first_layer=True, dtype=dt)(x, graph, train)
+        x2 = EdgeConv([64], self.k, dtype=dt)(x1, graph, train)
+        x3 = EdgeConv([64], self.k, dtype=dt)(x2, graph, train)
         multi = jnp.concatenate([x1, x2, x3], axis=-1)
-        g = SharedMLP(1024)(multi, train)
+        g = SharedMLP(1024, dtype=dt)(multi, train)
         g = jnp.max(g, axis=-2, keepdims=True)  # global feature (B, 1, 1024)
         g = jnp.broadcast_to(g, (*multi.shape[:-1], g.shape[-1]))
         h = jnp.concatenate([multi, g], axis=-1)
-        h = SharedMLP(256)(h, train)
-        h = SharedMLP(256)(h, train)
-        h = SharedMLP(128)(h, train)
-        return SharedMLP(self.num_classes, last_layer=True)(h, train)
+        h = SharedMLP(256, dtype=dt)(h, train)
+        h = SharedMLP(256, dtype=dt)(h, train)
+        h = SharedMLP(128, dtype=dt)(h, train)
+        out = SharedMLP(self.num_classes, last_layer=True, dtype=dt)(h, train)
+        return out.astype(jnp.float32)
 
 
 class DGCNNReg(DGCNNBase):
@@ -133,13 +139,15 @@ class DGCNNReg(DGCNNBase):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         x, graph = self._common(x, train)
-        x1 = EdgeConv([64], self.k, first_layer=True)(x, graph, train)
-        x2 = EdgeConv([64], self.k)(x1, graph, train)
-        x3 = EdgeConv([128], self.k)(x2, graph, train)
-        x4 = EdgeConv([256], self.k)(x3, graph, train)
+        dt = self.dtype
+        x1 = EdgeConv([64], self.k, first_layer=True, dtype=dt)(x, graph, train)
+        x2 = EdgeConv([64], self.k, dtype=dt)(x1, graph, train)
+        x3 = EdgeConv([128], self.k, dtype=dt)(x2, graph, train)
+        x4 = EdgeConv([256], self.k, dtype=dt)(x3, graph, train)
         multi = jnp.concatenate([x1, x2, x3, x4], axis=-1)
-        g = SharedMLP(1024)(multi, train)
+        g = SharedMLP(1024, dtype=dt)(multi, train)
         g = jnp.max(g, axis=-2)  # (B, 1024)
-        h = SharedMLP(512)(g, train)
-        h = SharedMLP(256)(h, train)
-        return SharedMLP(self.num_classes, last_layer=True)(h, train)
+        h = SharedMLP(512, dtype=dt)(g, train)
+        h = SharedMLP(256, dtype=dt)(h, train)
+        out = SharedMLP(self.num_classes, last_layer=True, dtype=dt)(h, train)
+        return out.astype(jnp.float32)

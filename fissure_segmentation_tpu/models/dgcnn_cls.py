@@ -8,7 +8,7 @@ graph build via ops.knn (self-loop included, dgcnn_opensrc.py:34-40).
 """
 from __future__ import annotations
 
-from typing import Mapping, Sequence, Tuple
+from typing import Any, Mapping, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -45,6 +45,7 @@ class DGCNNCls(nn.Module):
     emb_dims: int = 1024
     dropout: float = 0.0
     static: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -54,11 +55,13 @@ class DGCNNCls(nn.Module):
         for out in (64, 64, 128, 256):
             idx = graph if graph is not None else knn(h, self.k, self_loop=True)
             e = edge_features(h, idx)
-            e = SharedMLP(out)(e, train)
+            if self.dtype is not None:
+                e = e.astype(self.dtype)
+            e = SharedMLP(out, dtype=self.dtype)(e, train)
             h = jnp.max(e, axis=-2)
             feats.append(h)
         h = jnp.concatenate(feats, axis=-1)
-        h = SharedMLP(self.emb_dims)(h, train)          # (B, N, emb)
+        h = SharedMLP(self.emb_dims, dtype=self.dtype)(h, train)  # (B, N, emb)
         gmax = jnp.max(h, axis=-2)
         gavg = jnp.mean(h, axis=-2)
         g = jnp.concatenate([gmax, gavg], axis=-1)      # (B, 2*emb)
@@ -72,7 +75,7 @@ class DGCNNCls(nn.Module):
         y = nn.leaky_relu(y, 0.2)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         y = nn.Dense(self.output_channels, kernel_init=xavier_normal)(y)
-        return y, g
+        return y.astype(jnp.float32), g.astype(jnp.float32)
 
 
 class MultiHeadDGCNN(nn.Module):

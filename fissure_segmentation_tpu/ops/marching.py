@@ -80,55 +80,76 @@ _TET_TRI_COUNT = (_TET_TABLE[:, :, 0] >= 0).sum(axis=1).astype(np.int32)
 
 
 def _slab_triangles(phi_slab: jnp.ndarray, z0, iso: float):
-    """Triangles of one z-slab of cells. phi_slab: (sz+1, H, W) plane values
-    for sz cell layers starting at global z0. Returns (tris (n, 3, 3),
-    valid (n,)) with n = sz*(H-1)*(W-1)*6*2 fixed."""
+    """Candidate triangles of one z-slab of cells, gather-free.
+
+    All table lookups are unrolled statically: corner values are shifted
+    *slices* of the slab, and the 16-case marching-tetrahedra table turns
+    into a one-hot masked sum — pure element-wise VPU work in the natural
+    (z, y, x) layout (the original take_along_axis formulation lowered to
+    scalarized gathers, ~50x slower on TPU).
+
+    phi_slab: (sz+1, H, W) plane values for sz cell layers starting at
+    global z0. Returns (tris (n, 3, 3), valid (n,)) with
+    n = sz*(H-1)*(W-1)*6*2 fixed, candidate-index order = (cell, tet, slot).
+    """
     szp, h, w = phi_slab.shape
-    sz = szp - 1
-    cz, cy, cx = sz, h - 1, w - 1
+    sz, cy, cx = szp - 1, h - 1, w - 1
+    dt = phi_slab.dtype
 
-    bz, by, bx = jnp.meshgrid(jnp.arange(cz), jnp.arange(cy), jnp.arange(cx),
-                              indexing="ij")
-    base = jnp.stack([bz, by, bx], -1).reshape(-1, 3)
+    # corner c value field = shifted slice (no gather)
+    v = [phi_slab[dz:dz + sz, dy:dy + cy, dx:dx + cx] for dz, dy, dx in _CORNERS]
+    bz = jax.lax.broadcasted_iota(dt, (sz, cy, cx), 0) + z0.astype(dt)
+    by = jax.lax.broadcasted_iota(dt, (sz, cy, cx), 1)
+    bx = jax.lax.broadcasted_iota(dt, (sz, cy, cx), 2)
+    base = (bz, by, bx)
 
-    corner_off = jnp.asarray(_CORNERS)
-    cidx = base[:, None, :] + corner_off[None]
-    vals = phi_slab[cidx[..., 0], cidx[..., 1], cidx[..., 2]]  # (n_cells, 8)
+    tris_per_tet = []
+    valid_per_tet = []
+    for t in range(6):
+        corners = _TETS[t]
+        tv = [v[c] for c in corners]                     # 4 value fields
+        ins = [(x < iso) for x in tv]
+        n_in = sum(i.astype(jnp.int32) for i in ins)     # 0..4
+        case = (ins[0] * 1 + ins[1] * 2 + ins[2] * 4 + ins[3] * 8)
 
-    tets = jnp.asarray(_TETS)
-    table = jnp.asarray(_TET_TABLE)
-    tet_edges = jnp.asarray(_TET_EDGES)
+        # 6 edge interpolation points; coordinates are base + static offset
+        # + frac * (static delta) — element-wise only.
+        edge_coords = []                                  # [(z, y, x)] * 6
+        for (a, b) in _TET_EDGES:
+            va, vb = tv[a], tv[b]
+            diff = vb - va
+            frac = (iso - va) / jnp.where(jnp.abs(diff) < 1e-12, 1e-12, diff)
+            frac = jnp.clip(frac, 0.0, 1.0)
+            oa = _CORNERS[corners[a]]
+            ob = _CORNERS[corners[b]]
+            coord = tuple(
+                base[k] + float(oa[k]) + frac * float(ob[k] - oa[k])
+                for k in range(3))
+            edge_coords.append(coord)
 
-    tet_vals = vals[:, tets]                                  # (n_cells, 6, 4)
-    tet_pos = (base[:, None, None, :]
-               + corner_off[tets][None]).astype(phi_slab.dtype)
+        # triangles for the 2 slots via one-hot sum over the 14 active cases
+        for slot in range(2):
+            acc = [[jnp.zeros((sz, cy, cx), dt) for _ in range(3)]
+                   for _ in range(3)]                     # [vert][coord]
+            for c_id in range(1, 15):
+                edges = _TET_TABLE[c_id, slot]
+                if edges[0] < 0:
+                    continue
+                m = (case == c_id).astype(dt)
+                for vert in range(3):
+                    e = int(edges[vert])
+                    for k in range(3):
+                        acc[vert][k] = acc[vert][k] + m * edge_coords[e][k]
+            tri = jnp.stack([jnp.stack(acc[vert], -1) for vert in range(3)],
+                            -2)                           # (sz, cy, cx, 3, 3)
+            tris_per_tet.append(tri)
+            valid_per_tet.append((n_in >= 1) & (n_in <= 3) if slot == 0
+                                 else n_in == 2)
 
-    inside = tet_vals < iso
-    case = (inside[..., 0] * 1 + inside[..., 1] * 2
-            + inside[..., 2] * 4 + inside[..., 3] * 8)
-
-    va = jnp.take_along_axis(tet_vals[..., None, :],
-                             tet_edges[None, None, :, :1], axis=-1)[..., 0]
-    vb = jnp.take_along_axis(tet_vals[..., None, :],
-                             tet_edges[None, None, :, 1:], axis=-1)[..., 0]
-    t = (iso - va) / jnp.where(jnp.abs(vb - va) < 1e-12, 1e-12, vb - va)
-    t = jnp.clip(t, 0.0, 1.0)
-    pa = jnp.take_along_axis(tet_pos, tet_edges[None, None, :, 0][..., None]
-                             .repeat(3, -1), axis=-2)
-    pb = jnp.take_along_axis(tet_pos, tet_edges[None, None, :, 1][..., None]
-                             .repeat(3, -1), axis=-2)
-    edge_pts = pa + t[..., None] * (pb - pa)                  # (n_cells, 6, 6, 3)
-
-    tri_edges = table[case]                                   # (n_cells, 6, 2, 3)
-    safe_edges = jnp.maximum(tri_edges, 0)
-    tris = jnp.take_along_axis(
-        edge_pts[:, :, None, :, :],
-        safe_edges[..., None].repeat(3, -1),
-        axis=-2)
-    tri_valid = tri_edges[..., 0] >= 0
-    tris = tris.reshape(-1, 3, 3)
-    tris = tris.at[..., 0].add(z0.astype(tris.dtype))  # shift into global z
-    return tris, tri_valid.reshape(-1)
+    # candidate order (cell, tet, slot): stack to (sz, cy, cx, 12, 3, 3)
+    tris = jnp.stack(tris_per_tet, axis=3)
+    valid = jnp.stack(valid_per_tet, axis=3)
+    return tris.reshape(-1, 3, 3), valid.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("max_tris", "iso", "slab_size"))
@@ -137,13 +158,20 @@ def marching_tetrahedra(phi: jnp.ndarray, max_tris: int = 200_000,
     """Extract the iso-surface of a (D, H, W) scalar field.
 
     Cells are processed in z-slabs of `slab_size` layers under lax.scan so
-    peak memory is O(slab) not O(volume) — required for 128^3 DPSR grids.
+    construction temporaries stay O(slab); candidates accumulate to
+    O(cells*12) rows which are compacted ONCE with an index-only
+    cumsum/scatter (jnp.nonzero with a static size) + a single payload
+    gather — scattering int32 indices instead of 27-float rows is what
+    makes the compaction cheap on TPU.
 
     :return: (tris (max_tris, 3, 3) float zyx vertex coords in voxel units,
               valid (max_tris,) bool, n_tris ())
     Triangles beyond the budget are dropped (count reported in n_tris).
     """
     d, h, w = phi.shape
+    if min(d, h, w) < 2:
+        raise ValueError(f"marching_tetrahedra needs >= 2 samples per axis, "
+                         f"got {phi.shape}")
     n_layers = d - 1
     n_slabs = -(-n_layers // slab_size)
     pad_d = n_slabs * slab_size + 1 - d
@@ -154,21 +182,21 @@ def marching_tetrahedra(phi: jnp.ndarray, max_tris: int = 200_000,
 
     z0s = jnp.arange(n_slabs) * slab_size
 
-    def body(carry, z0):
-        out, n_written = carry
+    def body(_, z0):
         slab = jax.lax.dynamic_slice_in_dim(phi, z0, slab_size + 1, axis=0)
-        tris, valid = _slab_triangles(slab, z0, iso)
-        local_dest = jnp.cumsum(valid) - 1
-        dest = jnp.where(valid, jnp.minimum(n_written + local_dest, max_tris),
-                         max_tris)
-        out = out.at[dest].set(tris, mode="drop")
-        return (out, n_written + valid.sum()), None
+        return None, _slab_triangles(slab, z0, iso)
 
-    out0 = jnp.zeros((max_tris + 1, 3, 3), phi.dtype)
-    (out, n_tris), _ = jax.lax.scan(body, (out0, jnp.asarray(0)), z0s)
-    out = out[:max_tris]
-    valid = jnp.arange(max_tris) < jnp.minimum(n_tris, max_tris)
-    return out, valid, n_tris
+    _, (tris, valid) = jax.lax.scan(body, None, z0s)
+    tris = tris.reshape(-1, 3, 3)
+    valid = valid.reshape(-1)
+    n_cand = valid.shape[0]
+
+    n_tris = valid.sum()
+    (idx,) = jnp.nonzero(valid, size=max_tris, fill_value=n_cand)
+    out = jnp.take(tris, jnp.minimum(idx, n_cand - 1), axis=0)
+    out_valid = jnp.arange(max_tris) < jnp.minimum(n_tris, max_tris)
+    out = jnp.where(out_valid[:, None, None], out, 0.0)
+    return out, out_valid, n_tris
 
 
 def triangles_to_mesh(tris: jnp.ndarray):

@@ -146,11 +146,11 @@ def pointcloud_surface_fitting(points_world: np.ndarray, shape,
                 keep |= inside[c[:, 0], c[:, 1], c[:, 2]]
     tvalid = tvalid & keep
 
-    # PSR-voxel index (zyx) -> normalized grid coord (zyx) -> world xyz
+    # PSR-voxel index (zyx) -> normalized grid coord (zyx) -> world xyz;
+    # pure numpy (kpts_to_world is backend-generic) — no device round trip
     g = tris / (np.array(grid_res, np.float64) - 1) * 2.0 - 1.0
-    tris_world = np.asarray(kpts_to_world(jnp.asarray(g[..., ::-1].copy(),
-                                                      dtype=jnp.float32), shape))
-    return tris_world.astype(np.float32), tvalid
+    tris_world = kpts_to_world(g[..., ::-1].astype(np.float32), shape)
+    return np.asarray(tris_world, np.float32), tvalid
 
 
 def poisson_reconstruction(fissures: np.ndarray, mask: np.ndarray | None = None,
