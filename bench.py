@@ -97,25 +97,38 @@ def main():
     fetch_seconds = time.perf_counter() - t0   # transfer only
 
     # ---- stage B: per-fissure mesh fit + labelmap (host wall clock) ----
+    # All 3 classes fit in ONE vmapped device dispatch
+    # (fit_fissure_surfaces); untrained bench weights may starve a class,
+    # so classes with <100 predicted points are substituted by
+    # representatively-sized GT surface samples (runtime depends on point
+    # counts, not values).
     from fissure_segmentation_tpu.data.synthetic import sample_fissure_surface
+    from fissure_segmentation_tpu.postprocess.surface_fitting import \
+        fit_fissure_surfaces
     scale = np.array(SHAPE[::-1], np.float32) - 1  # [0,1]^3 -> voxel xyz
     gt_rng = np.random.default_rng(3)
     world = kpts[:, ::-1].astype(np.float32)
 
+    pts_list, class_valid_blocks = [], []
+    for c in (1, 2, 3):
+        pts = world[valid & (pred == c)]
+        if len(pts) < 100:
+            pts = sample_fissure_surface(case["surface_params"], c, 6000,
+                                         gt_rng).astype(np.float32) * scale
+        pts_list.append(pts)
+    n_total = sum(len(p) for p in pts_list)
+    all_pts = np.concatenate(pts_list)
+    class_valid = np.zeros((3, n_total), bool)
+    off = 0
+    for i, p in enumerate(pts_list):
+        class_valid[i, off:off + len(p)] = True
+        off += len(p)
+
     def stage_b():
-        meshes = []
-        for c in (1, 2, 3):
-            pts = world[valid & (pred == c)]
-            if len(pts) < 100:
-                # untrained bench weights may starve a class; substitute a
-                # representatively-sized GT surface sample (runtime depends
-                # on the point count, not the values)
-                pts = sample_fissure_surface(case["surface_params"], c, 6000,
-                                             gt_rng).astype(np.float32) * scale
-            tris, tvalid = pointcloud_surface_fitting(
-                pts, SHAPE, grid_res=(64, 64, 64), max_tris=24000,
-                right=c > 1, center_x=SHAPE[2] / 2)
-            meshes.append((tris, tvalid))
+        meshes = fit_fissure_surfaces(
+            all_pts, class_valid, SHAPE, grid_res=(64, 64, 64),
+            max_tris=24000, rights=[False, True, True],
+            center_x=SHAPE[2] / 2)
         return mesh_to_labelmap(meshes, SHAPE)
 
     stage_b()  # warm up (compiles the PSR + marching-tetrahedra jits)

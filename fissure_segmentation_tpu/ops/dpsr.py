@@ -36,12 +36,17 @@ def spec_gaussian_filter(res, sig: float) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("res", "sig", "scale", "shift"))
 def spectral_psr(v: jnp.ndarray, normal_field: jnp.ndarray, res,
-                 sig: float = 10.0, scale: bool = True, shift: bool = True):
+                 sig: float = 10.0, scale: bool = True, shift: bool = True,
+                 point_weights: jnp.ndarray | None = None):
     """Solve the spectral Poisson problem (dpsr_net.py:66-104).
 
     :param v: (B, N, 3) points in [0, 1] (index order) — used for the
         shift normalization
     :param normal_field: (B, 3, *res) rasterized normals
+    :param point_weights: optional (B, N) weights for the shift
+        normalization — pass a validity mask when `v` contains padded or
+        masked-out points so the zero level-set is anchored only on the
+        real surface points
     :return: (B, *res) indicator field phi (zero level-set = surface)
     """
     g = jnp.asarray(spec_gaussian_filter(res, sig))          # (d0,d1,d2r)
@@ -58,7 +63,11 @@ def spectral_psr(v: jnp.ndarray, normal_field: jnp.ndarray, res,
 
     if shift:
         fv = grid_interp(phi[..., None], v)[..., 0]           # (B, N)
-        offset = fv.mean(axis=-1)
+        if point_weights is None:
+            offset = fv.mean(axis=-1)
+        else:
+            w = point_weights.astype(fv.dtype)
+            offset = (fv * w).sum(-1) / jnp.maximum(w.sum(-1), 1e-12)
         phi = phi - offset[:, None, None, None]
     if scale:
         fv0 = phi[:, 0, 0, 0]
@@ -67,9 +76,10 @@ def spectral_psr(v: jnp.ndarray, normal_field: jnp.ndarray, res,
 
 
 def dpsr_forward(points: jnp.ndarray, normals: jnp.ndarray, res,
-                 sig: float = 10.0, scale: bool = True, shift: bool = True):
+                 sig: float = 10.0, scale: bool = True, shift: bool = True,
+                 point_weights: jnp.ndarray | None = None):
     """Full DPSR forward (dpsr_net.py:50-64): points (B, N, 3) in grid coords
     [-1, 1] + normals (B, N, 3) -> indicator field (B, *res)."""
     v = (points + 1.0) / 2.0
     ras = point_rasterize(v, normals, tuple(res))             # (B, 3, *res)
-    return spectral_psr(v, ras, tuple(res), sig, scale, shift)
+    return spectral_psr(v, ras, tuple(res), sig, scale, shift, point_weights)

@@ -65,7 +65,7 @@ def _psr_grid(points_grid: jnp.ndarray, valid: jnp.ndarray, grid_res, sig,
                                           mask=valid[None])[0]
     w = valid[:, None].astype(points_grid.dtype)
     phi = dpsr_forward(points_grid[None], (normals * w)[None],
-                       res=grid_res, sig=sig)
+                       res=grid_res, sig=sig, point_weights=valid[None])
     return phi[0]
 
 
@@ -95,7 +95,18 @@ def pointcloud_surface_fitting(points_world: np.ndarray, shape,
     pts_grid = jnp.asarray(kpts_to_grid(points_world, shape)[:, ::-1])
     valid = jnp.ones(pts_grid.shape[0], bool)
     phi = np.asarray(_psr_grid(pts_grid, valid, tuple(grid_res), sig, k_normals))
+    tris, tvalid, _ = marching_tetrahedra(jnp.asarray(phi), max_tris=max_tris)
+    return _host_mesh_filter(phi, np.asarray(tris), np.asarray(tvalid),
+                             points_world, shape, tuple(grid_res), mask,
+                             mask_dilate_radius, right, center_x, crop_to_bbox)
 
+
+def _host_mesh_filter(phi: np.ndarray, tris: np.ndarray, tvalid: np.ndarray,
+                      points_world: np.ndarray, shape, grid_res,
+                      mask, mask_dilate_radius, right, center_x,
+                      crop_to_bbox):
+    """Host half of the surface fit: mask/bbox restriction, largest-component
+    selection (native C++), triangle filtering and world transform."""
     inside = phi < 0
     d, h, w = shape
     scale_zyx = np.array([(d - 1), (h - 1), (w - 1)], np.float64) / \
@@ -128,13 +139,10 @@ def pointcloud_surface_fitting(points_world: np.ndarray, shape,
         center_x / max(scale_zyx[2], 1e-9)
     inside = keep_largest_component(inside, right=right, center_x=center_x_grid)
 
-    # extract the surface from the *raw* field, then drop triangles whose
+    # the surface was extracted from the *raw* field; drop triangles whose
     # neighborhood is not in the kept inside-region — filtering triangles
     # (like the reference's mesh cropping/masking, general_utils.py:157-209)
     # instead of clamping phi, which would fabricate walls at crop faces.
-    tris, tvalid, _ = marching_tetrahedra(jnp.asarray(phi), max_tris=max_tris)
-    tris = np.asarray(tris)
-    tvalid = np.asarray(tvalid)
     centers = tris.mean(axis=1)  # (T, 3) PSR-voxel zyx
     lo = np.floor(centers).astype(int)
     keep = np.zeros(len(tris), bool)
@@ -151,6 +159,67 @@ def pointcloud_surface_fitting(points_world: np.ndarray, shape,
     g = tris / (np.array(grid_res, np.float64) - 1) * 2.0 - 1.0
     tris_world = kpts_to_world(g[..., ::-1].astype(np.float32), shape)
     return np.asarray(tris_world, np.float32), tvalid
+
+
+@functools.partial(jax.jit, static_argnames=("grid_res", "sig", "k_normals",
+                                             "max_tris"))
+def _batched_psr_mc(points_grid: jnp.ndarray, valids: jnp.ndarray, grid_res,
+                    sig, k_normals, max_tris):
+    """Device half for C classes in ONE dispatch: vmapped masked-normal PSR
+    + vmapped marching tetrahedra over the shared point cloud."""
+    phis = jax.vmap(lambda v: _psr_grid(points_grid, v, grid_res, sig,
+                                        k_normals))(valids)
+    tris, tvalid, _ = jax.vmap(
+        lambda p: marching_tetrahedra(p, max_tris=max_tris))(phis)
+    return phis, tris, tvalid
+
+
+def fit_fissure_surfaces(points_world: np.ndarray, class_valid: np.ndarray,
+                         shape, mask: np.ndarray | None = None,
+                         mask_dilate_radius: int = 1,
+                         grid_res=(64, 64, 64), sig: float = 4.0,
+                         k_normals: int = 30, max_tris: int = 24000,
+                         rights=None, center_x: float | None = None,
+                         crop_to_bbox: bool = True):
+    """Fit all fissure surfaces of one case in a single device dispatch.
+
+    Serving-path variant of per-class `pointcloud_surface_fitting`: the C
+    per-class PSR grids and marching-tetrahedra extractions are vmapped into
+    one jit (one host->device upload of the shared cloud, one fetch), then
+    the host filter runs per class. ~C-fold fewer tunnel round trips.
+
+    :param points_world: (N, 3) xyz voxel coordinates (the full keypoint
+        cloud of the case)
+    :param class_valid: (C, N) bool — which points belong to each class
+    :param rights: optional per-class right-lung flags (len C) for the
+        largest-component preference
+    :return: list of C (tris (T, 3, 3) world xyz, valid (T,)) meshes
+    """
+    points_world = np.asarray(points_world, np.float32)
+    class_valid = np.asarray(class_valid, bool)
+    c = class_valid.shape[0]
+    if rights is None:
+        rights = [None] * c
+
+    pts_grid = jnp.asarray(kpts_to_grid(points_world, shape)[:, ::-1])
+    phis, tris, tvalid = _batched_psr_mc(
+        pts_grid, jnp.asarray(class_valid), tuple(grid_res), sig, k_normals,
+        max_tris)
+    phis = np.asarray(phis)
+    tris = np.asarray(tris)
+    tvalid = np.asarray(tvalid)
+
+    meshes = []
+    for i in range(c):
+        pts_c = points_world[class_valid[i]]
+        if len(pts_c) < 4:
+            meshes.append((np.zeros((0, 3, 3), np.float32),
+                           np.zeros(0, bool)))
+            continue
+        meshes.append(_host_mesh_filter(
+            phis[i], tris[i], tvalid[i], pts_c, shape, tuple(grid_res), mask,
+            mask_dilate_radius, rights[i], center_x, crop_to_bbox))
+    return meshes
 
 
 def poisson_reconstruction(fissures: np.ndarray, mask: np.ndarray | None = None,

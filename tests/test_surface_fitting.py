@@ -53,3 +53,34 @@ def test_surface_fitting_on_synthetic_fissure():
     occupied = np.argwhere(lm == 1)
     # labeled voxels near the fissure z-range
     assert occupied[:, 0].std() > 1.0
+
+
+def test_batched_fit_matches_per_class():
+    """fit_fissure_surfaces (one vmapped dispatch) must reproduce the
+    per-class pointcloud_surface_fitting meshes."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fissure_segmentation_tpu.postprocess.surface_fitting import (
+        fit_fissure_surfaces, pointcloud_surface_fitting)
+
+    rng = np.random.default_rng(0)
+    shape = (48, 48, 48)
+    # two tilted plane-ish clouds
+    def plane(z0, slope):
+        xy = rng.uniform(8, 40, (500, 2)).astype(np.float32)
+        z = z0 + slope * (xy[:, 0] - 24) / 24 + rng.normal(0, 0.2, 500)
+        return np.stack([xy[:, 0], xy[:, 1], z], -1).astype(np.float32)
+
+    p1, p2 = plane(20, 3), plane(30, -2)
+    pts = np.concatenate([p1, p2])
+    cv = np.zeros((2, 1000), bool)
+    cv[0, :500] = True
+    cv[1, 500:] = True
+
+    batched = fit_fissure_surfaces(pts, cv, shape, grid_res=(32, 32, 32),
+                                   max_tris=8000)
+    singles = [pointcloud_surface_fitting(p, shape, grid_res=(32, 32, 32),
+                                          max_tris=8000) for p in (p1, p2)]
+    for (tb, vb), (ts, vs) in zip(batched, singles):
+        np.testing.assert_array_equal(vb, vs)
+        np.testing.assert_allclose(tb[vb], ts[vs], atol=1e-5)
