@@ -132,14 +132,18 @@ def max_pool_same(data: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
     """
     pad1 = kernel_size // 2
     pad2 = kernel_size - pad1 - 1
+    # max is separable for stride-1 windows: 3 axis-wise passes are
+    # 3k comparisons per voxel instead of k^3 (27 vs 729 at k=9)
     for ax in (data.ndim - 3, data.ndim - 2, data.ndim - 1):
-        data = _replicate_pad_axis(data, ax, pad2, pad1)
-    window = [1] * (data.ndim - 3) + [kernel_size] * 3
-    return jax.lax.reduce_window(
-        data, -jnp.inf, jax.lax.max,
-        window_dimensions=window, window_strides=[1] * data.ndim,
-        padding="VALID",
-    )
+        padded = _replicate_pad_axis(data, ax, pad2, pad1)
+        window = [1] * data.ndim
+        window[ax] = kernel_size
+        data = jax.lax.reduce_window(
+            padded, -jnp.inf, jax.lax.max,
+            window_dimensions=window, window_strides=[1] * data.ndim,
+            padding="VALID",
+        )
+    return data
 
 
 nms = max_pool_same  # reference naming (image_utils.py:38)
