@@ -113,9 +113,10 @@ def label_to_mesh(labelmap: np.ndarray, label: int,
 
 def find_lobes(fissures: jnp.ndarray, lung_mask: jnp.ndarray,
                exclude_rhf: bool = False, fill: bool = True,
-               cg_iters: int = 500, erode_radius: int = 2,
-               close_radius: int = 2, dilate_radius: int = 2,
-               open_radius: int = 4):
+               cg_iters: int = 500, erode_radius: int | None = None,
+               close_radius: int | None = None,
+               dilate_radius: int | None = None,
+               open_radius: int | None = None):
     """Fissure segmentation -> lobe labelmap (find_lobes.py:95-182).
 
     Pipeline: erode lung mask, cut it by the (binary, closed+dilated)
@@ -124,9 +125,22 @@ def find_lobes(fissures: jnp.ndarray, lung_mask: jnp.ndarray,
     inferior/superior), then optionally grow back to fill the whole lung
     mask with the random-walk solver.
 
+    Morphology radii default to the reference's full-size-CT values
+    (2/2/2/4, find_lobes.py:107-148) scaled down for small volumes —
+    on a 64^3 demo case radius-4 opening would erase whole lobes.
+
     :return: (lobes (D, H, W) int32, success bool)
     """
     from scipy import ndimage
+    scale = max(min(fissures.shape) / 256.0, 0.25)
+    if erode_radius is None:
+        erode_radius = max(int(round(2 * scale)), 1)
+    if close_radius is None:
+        close_radius = max(int(round(2 * scale)), 1)
+    if dilate_radius is None:
+        dilate_radius = max(int(round(2 * scale)), 1)
+    if open_radius is None:
+        open_radius = max(int(round(4 * scale)), 1)
     num_target = 4 if exclude_rhf else 5
 
     fis = jnp.asarray(fissures)

@@ -1,0 +1,80 @@
+"""Dataset preprocessing entry point.
+
+CLI counterpart of reference preprocess_totalsegmentator_dataset.py (__main__)
+and label_preprocessing_pipeline.py: iterate raw cases, crop/flip/clamp +
+derive GT (fissures, lung mask), run the 4-step label pipeline (Poisson
+regularization -> masking -> lobes -> keypoints/features) and write the
+processed volumes, meshes and point files.
+
+Input: a folder of ``{case}_raw.npz`` files with arrays ``image`` (D,H,W HU)
+and ``lobes`` (D,H,W lobe labels) [+ optional ``spacing``], or
+``--synthetic N`` to generate demo cases. Output artifacts mirror the
+reference's directory layout (``*_img_*.npz``, ``*_mesh_*`` folders,
+``*_points_*.npz``).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from glob import glob
+
+import numpy as np
+
+
+def process_case(img, lobes, spacing, out_dir: str, case: str,
+                 sequence: str = "fixed", kp_mode: str = "foerstner"):
+    from fissure_segmentation_tpu.preprocess.pipeline import (
+        label_pipeline_case, preprocess_totalsegmentator_case)
+
+    pre = preprocess_totalsegmentator_case(img, lobes)
+    np.savez_compressed(
+        os.path.join(out_dir, f"{case}_img_{sequence}.npz"),
+        image=pre["image"], lobes=pre["lobes"], fissures=pre["fissures"],
+        lung_mask=pre["lung_mask"], spacing=np.asarray(spacing, np.float32))
+    out = label_pipeline_case(pre["image"], pre["fissures"],
+                              pre["lung_mask"], out_dir, case, sequence,
+                              kp_mode=kp_mode, spacing=spacing)
+    if out.get("points") is not None:
+        from fissure_segmentation_tpu.data.dataset import save_case_npz
+        save_case_npz(out["points"], out_dir)
+    return out
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="preprocess a CT dataset")
+    parser.add_argument("--data_dir", default=None,
+                        help="folder of {case}_raw.npz inputs")
+    parser.add_argument("--output", default="results/preprocessed")
+    parser.add_argument("--synthetic", type=int, default=0,
+                        help="generate N synthetic demo cases instead")
+    parser.add_argument("--kp_mode", default="foerstner")
+    parser.add_argument("--sequence", default="fixed")
+    args = parser.parse_args(argv)
+
+    os.makedirs(args.output, exist_ok=True)
+    if args.synthetic:
+        from fissure_segmentation_tpu.data.synthetic import \
+            make_synthetic_image_case
+        for i in range(args.synthetic):
+            case = make_synthetic_image_case(i)
+            # synthetic cases carry HU-like intensities in [-1, 1); rescale
+            img = case["image"] * 1000.0
+            process_case(img, case["lobes"], case["spacing"], args.output,
+                         case["case_id"], args.sequence, args.kp_mode)
+            print(f"processed {case['case_id']}")
+        return
+    if not args.data_dir:
+        parser.error("--data_dir or --synthetic required")
+    for path in sorted(glob(os.path.join(args.data_dir, "*_raw.npz"))):
+        case = os.path.basename(path).replace("_raw.npz", "")
+        with np.load(path) as z:
+            img = z["image"]
+            lobes = z["lobes"]
+            spacing = z["spacing"] if "spacing" in z else (1.0, 1.0, 1.0)
+        process_case(img, lobes, spacing, args.output, case, args.sequence,
+                     args.kp_mode)
+        print(f"processed {case}")
+
+
+if __name__ == "__main__":
+    main()

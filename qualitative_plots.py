@@ -1,0 +1,91 @@
+"""Qualitative figure generation: slice overlays and keypoint plots.
+
+Counterpart of reference qualitative.py + keypoint_plots.py (thesis/IJCARS
+figure scripts): renders (a) CT slices with fissure-label overlays and
+(b) keypoint scatter over slices, from the framework's image cases and
+point files (synthetic or a preprocessed folder).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+CLASS_COLORS = {1: "tab:red", 2: "tab:blue", 3: "tab:green"}
+
+
+def slice_with_overlay(ax, img: np.ndarray, labels: np.ndarray | None,
+                       slice_num: int, slice_dim: int = 0, alpha: float = 1.0):
+    """One z/y/x slice with colored label overlay (qualitative.py
+    visualize_with_overlay usage)."""
+    sl = [slice(None)] * 3
+    sl[slice_dim] = slice_num
+    ax.imshow(img[tuple(sl)], cmap="gray")
+    if labels is not None:
+        lab = labels[tuple(sl)]
+        for lbl, color in CLASS_COLORS.items():
+            ys, xs = np.nonzero(lab == lbl)
+            ax.scatter(xs, ys, s=1, c=color, alpha=alpha)
+    ax.axis("off")
+
+
+def plot_keypoints_on_slice(ax, img: np.ndarray, kpts_zyx: np.ndarray,
+                            labels: np.ndarray | None, slice_num: int,
+                            slice_dim: int = 0, thickness: float = 1.5):
+    """Keypoints within `thickness` of a slice (keypoint_plots.py:21-49)."""
+    sl = [slice(None)] * 3
+    sl[slice_dim] = slice_num
+    ax.imshow(img[tuple(sl)], cmap="gray")
+    near = np.abs(kpts_zyx[:, slice_dim] - slice_num) < thickness
+    pts = kpts_zyx[near]
+    axes2d = [a for a in range(3) if a != slice_dim]
+    cs = None
+    if labels is not None:
+        cs = [CLASS_COLORS.get(int(l), "yellow") for l in labels[near]]
+    ax.scatter(pts[:, axes2d[1]], pts[:, axes2d[0]], s=2, c=cs or "yellow")
+    ax.axis("off")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="qualitative figures")
+    parser.add_argument("--output", default="results/plots/qualitative")
+    parser.add_argument("--slices", type=int, nargs="+", default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from fissure_segmentation_tpu.data.synthetic import (
+        make_synthetic_case, make_synthetic_image_case)
+    from fissure_segmentation_tpu.utils.coords import kpts_to_world
+
+    os.makedirs(args.output, exist_ok=True)
+    case = make_synthetic_image_case(args.seed)
+    d = case["image"].shape[0]
+    slices = args.slices or [d // 3, d // 2, 2 * d // 3]
+
+    fig, axes = plt.subplots(1, len(slices), figsize=(4 * len(slices), 4))
+    for ax, s in zip(np.atleast_1d(axes), slices):
+        slice_with_overlay(ax, case["image"], case["labels"], s)
+    fig.savefig(os.path.join(args.output, "fissure_overlay.png"), dpi=150,
+                bbox_inches="tight")
+    plt.close(fig)
+
+    pc = make_synthetic_case(args.seed, n_points=4000, with_feature=False)
+    world = np.asarray(kpts_to_world(pc["coords"], pc["shape"]))  # xyz
+    kpts_zyx = world[:, ::-1] * np.asarray(case["image"].shape) / \
+        np.asarray(pc["shape"])
+    fig, axes = plt.subplots(1, len(slices), figsize=(4 * len(slices), 4))
+    for ax, s in zip(np.atleast_1d(axes), slices):
+        plot_keypoints_on_slice(ax, case["image"], kpts_zyx, pc["labels"], s)
+    fig.savefig(os.path.join(args.output, "keypoints.png"), dpi=150,
+                bbox_inches="tight")
+    plt.close(fig)
+    print(f"wrote figures to {args.output}")
+
+
+if __name__ == "__main__":
+    main()
