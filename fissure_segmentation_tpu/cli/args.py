@@ -77,6 +77,9 @@ def get_generic_parser(description: str):
                         help="Run detached via nohup, log to ./results/logs/")
     parser.add_argument("--speed", const=True, default=False, nargs="?",
                         help="Run inference speed test (nothing else)")
+    parser.add_argument("--dp", const=True, default=False, nargs="?",
+                        help="data-parallel training: shard the batch over "
+                             "all local devices (batch must be divisible)")
     add_training_parameters(parser)
     add_data_parameters(parser)
     add_test_parameters(parser)

@@ -105,8 +105,19 @@ class ModelTrainer:
                  forward_fn: Callable | None = None,
                  init_fn: Callable | None = None,
                  init_input=None, epoch_in_loss: bool = False,
-                 epoch_callback: Callable | None = None):
+                 epoch_callback: Callable | None = None,
+                 mesh=None, mesh_axis: str = "data"):
+        """`mesh`: optional jax.sharding.Mesh — trains data-parallel with
+        the batch axis sharded over `mesh_axis` (params/optimizer state
+        replicated, gradients reduced by GSPMD; SURVEY.md §2.5). The batch
+        size must be divisible by the mesh axis size."""
         self.model = model
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        if mesh is not None and config.batch_size % mesh.shape[mesh_axis]:
+            raise ValueError(
+                f"batch_size {config.batch_size} not divisible by mesh axis "
+                f"'{mesh_axis}' size {mesh.shape[mesh_axis]}")
         self.ds = ds
         self.loss_fn = loss_fn
         self.out_dir = out_dir
@@ -179,8 +190,29 @@ class ModelTrainer:
     def rebuild_jit(self):
         """(Re-)compile the epoch/val functions — call after mutating
         `self.model` (e.g. activating DG-SSM heads)."""
-        self._epoch_fn = jax.jit(self._epoch, donate_argnums=(0, 1, 2))
-        self._val_fn = jax.jit(self._validate)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self.mesh, P())
+            # params/batch_stats/opt_state replicated; per-step losses and
+            # loss components replicated (GSPMD inserts the gradient psum)
+            self._epoch_fn = jax.jit(self._epoch, donate_argnums=(0, 1, 2),
+                                     out_shardings=(rep, rep, rep, rep, rep))
+            self._val_fn = jax.jit(self._validate, out_shardings=(rep, rep))
+        else:
+            self._epoch_fn = jax.jit(self._epoch, donate_argnums=(0, 1, 2))
+            self._val_fn = jax.jit(self._validate)
+
+    def _shard_batch_idx(self, idx: jnp.ndarray, batch_dim: int):
+        """Place a (…, batch) index array with the batch axis sharded over
+        the mesh (no-op without a mesh)."""
+        if self.mesh is None:
+            return idx
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = [None] * idx.ndim
+        if idx.shape[batch_dim] % self.mesh.shape[self.mesh_axis] == 0:
+            spec[batch_dim] = self.mesh_axis  # else: replicate (e.g. small
+            # validation sets — still correct, just not partitioned)
+        return jax.device_put(idx, NamedSharding(self.mesh, P(*spec)))
 
     def _make_opt(self, learning_rate):
         return optax.chain(
@@ -321,7 +353,7 @@ class ModelTrainer:
             if cfg.scheduler == "cosine":
                 opt_state.hyperparams["learning_rate"] = self._cosine_lr(epoch)
             key, k_ep, k_val = jax.random.split(key, 3)
-            perm = jnp.asarray(self._make_perm(rng_np))
+            perm = self._shard_batch_idx(jnp.asarray(self._make_perm(rng_np)), 1)
             ep_dev = jnp.asarray(epoch, jnp.int32)  # traced: no per-epoch recompile
             params, batch_stats, opt_state, losses, comps = self._epoch_fn(
                 params, batch_stats, opt_state, perm, k_ep, ep_dev)
@@ -330,9 +362,10 @@ class ModelTrainer:
             self._record(self.training_history, train_vals, epoch)
 
             if self.val_indices:
-                vloss, vcomps = self._val_fn(params, batch_stats,
-                                             jnp.asarray(self.val_indices),
-                                             k_val, ep_dev)
+                vloss, vcomps = self._val_fn(
+                    params, batch_stats,
+                    self._shard_batch_idx(jnp.asarray(self.val_indices), 0),
+                    k_val, ep_dev)
                 val_vals = {"total_loss": vloss, **vcomps}
             else:
                 val_vals = train_vals

@@ -153,3 +153,61 @@ def test_profiling_utils():
     assert count_parameters(variables) == 25
     row = param_and_op_count(f, (a, a), variables)
     assert row["flops"] > 0 and row["params"] == 25
+
+
+def test_trainer_data_parallel_matches_single_device(tmp_path):
+    """ModelTrainer(mesh=...) trains with the batch axis sharded over the
+    device mesh; same seeds => near-identical history to the unsharded
+    trainer (differences only from reduction order)."""
+    import jax
+    import numpy as np
+    from fissure_segmentation_tpu.data import PointDataset, make_synthetic_dataset
+    from fissure_segmentation_tpu.losses import get_loss_fn
+    from fissure_segmentation_tpu.models import DGCNNSeg
+    from fissure_segmentation_tpu.parallel import make_mesh
+    from fissure_segmentation_tpu.train import ModelTrainer, TrainConfig
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs 4 devices")
+
+    cases = make_synthetic_dataset(10, n_points=400, with_feature=True)
+    ds = PointDataset(cases, sample_points=128)
+    loss_fn = get_loss_fn("nnunet", jnp.asarray(ds.get_class_weights()))
+    cfg = TrainConfig(epochs=4, lr=1e-3, batch_size=8, scheduler="cosine",
+                      show_every=10, seed=0)
+
+    def build(out, mesh):
+        model = DGCNNSeg(k=8, in_features=4, num_classes=4, dynamic=False)
+        return ModelTrainer(model, ds, loss_fn, out, cfg, mesh=mesh)
+
+    t_single = build(str(tmp_path / "single"), None)
+    t_single.run()
+    mesh = make_mesh(("data",), devices=jax.devices()[:4])
+    t_dp = build(str(tmp_path / "dp"), mesh)
+    t_dp.run()
+
+    a = np.asarray(t_single.training_history["total_loss"])
+    b = np.asarray(t_dp.training_history["total_loss"])
+    np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+
+
+def test_trainer_dp_rejects_indivisible_batch():
+    import jax
+    import pytest
+    import jax.numpy as jnp
+    from fissure_segmentation_tpu.data import PointDataset, make_synthetic_dataset
+    from fissure_segmentation_tpu.losses import get_loss_fn
+    from fissure_segmentation_tpu.models import DGCNNSeg
+    from fissure_segmentation_tpu.parallel import make_mesh
+    from fissure_segmentation_tpu.train import ModelTrainer, TrainConfig
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    ds = PointDataset(make_synthetic_dataset(4, n_points=200), sample_points=64)
+    mesh = make_mesh(("data",), devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="not divisible"):
+        ModelTrainer(DGCNNSeg(k=4, in_features=4, num_classes=4),
+                     ds, get_loss_fn("ce"), "/tmp/x",
+                     TrainConfig(batch_size=6, epochs=1), mesh=mesh)

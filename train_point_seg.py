@@ -114,9 +114,14 @@ def run(args):
         train_ds, val_ds = ds.split_data_set(split[fold], fold_nr=fold)
 
         if not args.test_only:
+            mesh = None
+            if getattr(args, "dp", False) and len(jax.devices()) > 1:
+                from fissure_segmentation_tpu.parallel import make_mesh
+                mesh = make_mesh(("data",))
             trainer = ModelTrainer(model, train_ds, loss_fn, fold_dir,
                                    TrainConfig(**{**cfg.__dict__,
-                                                  "seed": cfg.seed + fold}))
+                                                  "seed": cfg.seed + fold}),
+                                   mesh=mesh)
             trainer.run()
 
         if not args.train_only:
