@@ -20,7 +20,10 @@ Layout (mirrors SURVEY.md §7 build plan):
   keypoints/  Förstner, Hessian enhancement, MIND features, KP dispatcher
   preprocess/ lobes<->fissures GT generation, crops, mesh GT, label pipeline
   shape_model/ SSM + localized LSSM, CPD/TPS registration, correspondences
-  parallel/   device mesh helpers, sharded ensemble inference, spatial tiling
+  parallel/   device mesh helpers, sharded ensemble inference, spatial
+              (z-slab) sharding with halo-exchange collectives
+  native/     first-party C++ host runtime (connected components, BVH
+              point->mesh distance, triangle voxelization, morphology)
   postprocess/ spectral Poisson surface fitting, marching cubes, random walk,
               plane fitting, mesh utils
   train/      point/image trainers (resumable), cross-validation, evaluation
