@@ -158,13 +158,17 @@ def lobes_to_fissures(lobes: jnp.ndarray, mask: jnp.ndarray,
     dil = acc > 0.5
 
     fissures = jnp.zeros(filled.shape, jnp.uint8)
-    lf = dil[3] & dil[4]
-    fissures = jnp.where(lf, jnp.uint8(1), fissures)
-    rof = dil[1] & dil[2]
-    if n_lobes == 5:
-        rof = rof | (dil[1] & dil[5])
-    fissures = jnp.where(rof, jnp.uint8(2), fissures)
-    if n_lobes == 5:
+    # guard by the number of lobe channels actually present — out-of-range
+    # jax indexing clamps silently and would fabricate fissures
+    if n_lobes >= 4:
+        lf = dil[3] & dil[4]
+        fissures = jnp.where(lf, jnp.uint8(1), fissures)
+    if n_lobes >= 2:
+        rof = dil[1] & dil[2]
+        if n_lobes >= 5:
+            rof = rof | (dil[1] & dil[5])
+        fissures = jnp.where(rof, jnp.uint8(2), fissures)
+    if n_lobes >= 5:
         rhf = dil[2] & dil[5]
         fissures = jnp.where(rhf, jnp.uint8(3), fissures)
     return fissures, filled

@@ -30,6 +30,44 @@ from ..postprocess.surface_fitting import pointcloud_surface_fitting
 from ..utils.coords import kpts_to_world
 
 
+def binary_to_fissure_labels(pred_binary: np.ndarray, pts_idx_zyx: np.ndarray,
+                             lung_lr: np.ndarray) -> np.ndarray:
+    """Binary fissure prediction -> left/right fissure labels via the
+    left(1)/right(2) lung mask (utils/fissure_utils.py:8-29, point-level):
+    points outside the lung are discarded (label 0).
+
+    :param pred_binary: (N,) 0/1 predictions
+    :param pts_idx_zyx: (N, 3) int voxel indices into lung_lr
+    :param lung_lr: (D, H, W) 0 background / 1 left / 2 right
+    """
+    idx = np.clip(pts_idx_zyx, 0, np.asarray(lung_lr.shape) - 1)
+    lr = np.asarray(lung_lr)[idx[:, 0], idx[:, 1], idx[:, 2]]
+    return np.where(np.asarray(pred_binary) > 0, lr, 0).astype(np.int32)
+
+
+def lobe_points_to_fissure_labels(pred_lobes: np.ndarray,
+                                  pts_idx_zyx: np.ndarray,
+                                  lung_mask: np.ndarray,
+                                  cg_iters: int = 300):
+    """Sparse lobe point predictions -> per-point fissure labels
+    (train.py:230-247): voxelize the point labels as random-walk seeds,
+    fill the lung (postprocess.random_walk.lobes_to_fissures), then read
+    the resulting fissure map back at the points.
+
+    :return: (pred_fissure_labels (N,), fissure_map (D, H, W))
+    """
+    from ..postprocess.random_walk import lobes_to_fissures
+    shape = np.asarray(lung_mask).shape
+    sparse = np.zeros(shape, np.int32)
+    idx = np.clip(pts_idx_zyx, 0, np.asarray(shape) - 1)
+    sparse[idx[:, 0], idx[:, 1], idx[:, 2]] = np.asarray(pred_lobes)
+    fis, _ = lobes_to_fissures(jnp.asarray(sparse),
+                               jnp.asarray(np.asarray(lung_mask, bool)),
+                               cg_iters=cg_iters)
+    fis = np.asarray(fis)
+    return fis[idx[:, 0], idx[:, 1], idx[:, 2]].astype(np.int32), fis
+
+
 def evaluate_case(pred_labels: np.ndarray, coords_grid: np.ndarray, case: dict,
                   num_classes: int, grid_res=(64, 64, 64),
                   n_metric_samples: int = 4000, seed: int = 42):
@@ -74,13 +112,24 @@ def evaluate_case(pred_labels: np.ndarray, coords_grid: np.ndarray, case: dict,
 
 def test_pipeline(ds: PointDataset, apply_fn, variables, out_dir: str,
                   sample_points: int = 2048, n_runs_min: int = 50,
-                  grid_res=(64, 64, 64), seed: int = 42, show: bool = False):
+                  grid_res=(64, 64, 64), seed: int = 42, show: bool = False,
+                  label_space: str = "fissures"):
     """Full test harness over a dataset (train.py:179-346).
 
+    :param label_space: prediction label semantics —
+        "fissures" (default), "lobes" (convert to fissures via the
+        random-walk fill, train.py:230-247; cases must carry a
+        ``lung_mask`` volume) or "binary" (left/right relabel via the
+        ``lung_lr`` volume, train.py:252-260 + fissure_utils.py:8).
     :return: dict of per-class aggregate metric arrays
     """
     os.makedirs(out_dir, exist_ok=True)
-    num_classes = ds.num_classes
+    if label_space == "fissures":
+        num_classes = ds.num_classes
+    elif label_space == "binary":
+        num_classes = 3                      # bg / left / right
+    else:  # lobes: 5 lobes -> 3 fissures, 4 lobes (exclude_rhf) -> 2
+        num_classes = 4 if ds.num_classes >= 6 else 3
     rng = jax.random.PRNGKey(seed)
 
     dices, per_case, ids = [], [], []
@@ -95,6 +144,20 @@ def test_pipeline(ds: PointDataset, apply_fn, variables, out_dir: str,
         pred = np.asarray(jnp.argmax(probs, axis=-1))
         jax.block_until_ready(probs)
         inference_times.append(time.time() - t0)
+
+        if label_space != "fissures":
+            case = ds.cases[i]
+            shape = case["shape"]
+            world = np.asarray(kpts_to_world(jnp.asarray(x[:, :3]), shape))
+            idx_zyx = np.round(world[:, ::-1]).astype(int)
+            if label_space == "binary":
+                pred = binary_to_fissure_labels(pred, idx_zyx,
+                                                case["lung_lr"])
+                y = np.asarray(case.get("fissure_labels_lr", y))
+            else:  # lobes
+                pred, _ = lobe_points_to_fissure_labels(
+                    pred, idx_zyx, case["lung_mask"])
+                y = np.asarray(case.get("fissure_labels", y))
 
         dices.append(np.asarray(batch_dice(jnp.asarray(pred)[None],
                                            jnp.asarray(y)[None], num_classes)))
