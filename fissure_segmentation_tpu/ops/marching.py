@@ -79,77 +79,70 @@ _TET_TABLE = _build_tet_table()
 _TET_TRI_COUNT = (_TET_TABLE[:, :, 0] >= 0).sum(axis=1).astype(np.int32)
 
 
-def _slab_triangles(phi_slab: jnp.ndarray, z0, iso: float):
-    """Candidate triangles of one z-slab of cells, gather-free.
+def _slab_valid(phi_slab: jnp.ndarray, iso: float):
+    """Per-candidate validity mask of one z-slab of cells, gather-free.
 
-    All table lookups are unrolled statically: corner values are shifted
-    *slices* of the slab, and the 16-case marching-tetrahedra table turns
-    into a one-hot masked sum — pure element-wise VPU work in the natural
-    (z, y, x) layout (the original take_along_axis formulation lowered to
-    scalarized gathers, ~50x slower on TPU).
+    Corner values are shifted *slices* of the slab (no gather); the only
+    work per tet is the 4 threshold comparisons and an inside-count — pure
+    element-wise VPU work in the natural (z, y, x) layout. Triangle geometry
+    is NOT constructed here; only the max_tris survivors are reconstructed
+    afterwards (see _gather_triangles), which keeps peak memory at
+    O(slab) + O(max_tris) instead of O(cells*12) 27-float rows.
 
-    phi_slab: (sz+1, H, W) plane values for sz cell layers starting at
-    global z0. Returns (tris (n, 3, 3), valid (n,)) with
-    n = sz*(H-1)*(W-1)*6*2 fixed, candidate-index order = (cell, tet, slot).
+    phi_slab: (sz+1, H, W) plane values for sz cell layers. Returns
+    valid (sz*(H-1)*(W-1)*12,) bool, candidate order = (cell z,y,x, tet, slot).
     """
     szp, h, w = phi_slab.shape
     sz, cy, cx = szp - 1, h - 1, w - 1
-    dt = phi_slab.dtype
-
-    # corner c value field = shifted slice (no gather)
     v = [phi_slab[dz:dz + sz, dy:dy + cy, dx:dx + cx] for dz, dy, dx in _CORNERS]
-    bz = jax.lax.broadcasted_iota(dt, (sz, cy, cx), 0) + z0.astype(dt)
-    by = jax.lax.broadcasted_iota(dt, (sz, cy, cx), 1)
-    bx = jax.lax.broadcasted_iota(dt, (sz, cy, cx), 2)
-    base = (bz, by, bx)
-
-    tris_per_tet = []
     valid_per_tet = []
     for t in range(6):
-        corners = _TETS[t]
-        tv = [v[c] for c in corners]                     # 4 value fields
-        ins = [(x < iso) for x in tv]
-        n_in = sum(i.astype(jnp.int32) for i in ins)     # 0..4
-        case = (ins[0] * 1 + ins[1] * 2 + ins[2] * 4 + ins[3] * 8)
+        tv = [v[c] for c in _TETS[t]]
+        n_in = sum((x < iso).astype(jnp.int32) for x in tv)   # 0..4
+        valid_per_tet.append((n_in >= 1) & (n_in <= 3))       # slot 0
+        valid_per_tet.append(n_in == 2)                       # slot 1
+    valid = jnp.stack(valid_per_tet, axis=3)                  # (sz,cy,cx,12)
+    return valid.reshape(-1)
 
-        # 6 edge interpolation points; coordinates are base + static offset
-        # + frac * (static delta) — element-wise only.
-        edge_coords = []                                  # [(z, y, x)] * 6
-        for (a, b) in _TET_EDGES:
-            va, vb = tv[a], tv[b]
-            diff = vb - va
-            frac = (iso - va) / jnp.where(jnp.abs(diff) < 1e-12, 1e-12, diff)
-            frac = jnp.clip(frac, 0.0, 1.0)
-            oa = _CORNERS[corners[a]]
-            ob = _CORNERS[corners[b]]
-            coord = tuple(
-                base[k] + float(oa[k]) + frac * float(ob[k] - oa[k])
-                for k in range(3))
-            edge_coords.append(coord)
 
-        # triangles for the 2 slots via one-hot sum over the 14 active cases
-        for slot in range(2):
-            acc = [[jnp.zeros((sz, cy, cx), dt) for _ in range(3)]
-                   for _ in range(3)]                     # [vert][coord]
-            for c_id in range(1, 15):
-                edges = _TET_TABLE[c_id, slot]
-                if edges[0] < 0:
-                    continue
-                m = (case == c_id).astype(dt)
-                for vert in range(3):
-                    e = int(edges[vert])
-                    for k in range(3):
-                        acc[vert][k] = acc[vert][k] + m * edge_coords[e][k]
-            tri = jnp.stack([jnp.stack(acc[vert], -1) for vert in range(3)],
-                            -2)                           # (sz, cy, cx, 3, 3)
-            tris_per_tet.append(tri)
-            valid_per_tet.append((n_in >= 1) & (n_in <= 3) if slot == 0
-                                 else n_in == 2)
+def _gather_triangles(phi: jnp.ndarray, gids: jnp.ndarray, iso: float,
+                      cy: int, cx: int):
+    """Differentiably reconstruct triangles for global candidate ids.
 
-    # candidate order (cell, tet, slot): stack to (sz, cy, cx, 12, 3, 3)
-    tris = jnp.stack(tris_per_tet, axis=3)
-    valid = jnp.stack(valid_per_tet, axis=3)
-    return tris.reshape(-1, 3, 3), valid.reshape(-1)
+    gid encodes (cell z, y, x, tet, slot) as ((z*cy + y)*cx + x)*12 +
+    tet*2 + slot. Only O(max_tris) candidates are reconstructed, via
+    vectorized gathers of the 8 cell-corner values — gradients w.r.t. phi
+    flow through the corner-value gathers and edge interpolation exactly as
+    in the dense formulation.
+    """
+    dt = phi.dtype
+    cell = gids // 12
+    rem = gids % 12
+    tet, slot = rem // 2, rem % 2
+    x = cell % cx
+    y = (cell // cx) % cy
+    z = cell // (cx * cy)
+
+    corner_ids = jnp.asarray(_TETS, jnp.int32)[tet]            # (M, 4)
+    offs = jnp.asarray(_CORNERS, jnp.int32)[corner_ids]        # (M, 4, 3)
+    vals = phi[z[:, None] + offs[..., 0], y[:, None] + offs[..., 1],
+               x[:, None] + offs[..., 2]]                      # (M, 4)
+    ins = (vals < iso).astype(jnp.int32)
+    case = ins[:, 0] + 2 * ins[:, 1] + 4 * ins[:, 2] + 8 * ins[:, 3]
+    edges = jnp.asarray(_TET_TABLE)[case, slot]                # (M, 3)
+    e = jnp.maximum(edges, 0)                                  # -1 pad -> 0
+    ab = jnp.asarray(_TET_EDGES, jnp.int32)[e]                 # (M, 3, 2)
+
+    ar = jnp.arange(gids.shape[0])[:, None, None]
+    vgath = vals[ar, ab]                                       # (M, 3, 2)
+    ogath = offs[ar, ab].astype(dt)                            # (M, 3, 2, 3)
+    va, vb = vgath[..., 0], vgath[..., 1]
+    diff = vb - va
+    frac = (iso - va) / jnp.where(jnp.abs(diff) < 1e-12, 1e-12, diff)
+    frac = jnp.clip(frac, 0.0, 1.0)                            # (M, 3)
+    oa, ob = ogath[:, :, 0, :], ogath[:, :, 1, :]              # (M, 3, 3)
+    base = jnp.stack([z, y, x], -1).astype(dt)[:, None, :]     # (M, 1, 3)
+    return base + oa + frac[..., None] * (ob - oa)             # (M, 3, 3)
 
 
 @functools.partial(jax.jit, static_argnames=("max_tris", "iso", "slab_size"))
@@ -157,12 +150,12 @@ def marching_tetrahedra(phi: jnp.ndarray, max_tris: int = 200_000,
                         iso: float = 0.0, slab_size: int = 8):
     """Extract the iso-surface of a (D, H, W) scalar field.
 
-    Cells are processed in z-slabs of `slab_size` layers under lax.scan so
-    construction temporaries stay O(slab); candidates accumulate to
-    O(cells*12) rows which are compacted ONCE with an index-only
-    cumsum/scatter (jnp.nonzero with a static size) + a single payload
-    gather — scattering int32 indices instead of 27-float rows is what
-    makes the compaction cheap on TPU.
+    Cells are processed in z-slabs of `slab_size` layers under lax.scan
+    whose carry is *integer-only* (running count + an int32 candidate-id
+    buffer scattered per slab), so peak memory stays O(slab)+O(max_tris)
+    even at 128^3 DPSR grids, for both forward and reverse-mode (the scan
+    carries nothing differentiable; gradients flow only through the final
+    O(max_tris) gather-reconstruction of the surviving candidates).
 
     :return: (tris (max_tris, 3, 3) float zyx vertex coords in voxel units,
               valid (max_tris,) bool, n_tris ())
@@ -172,6 +165,7 @@ def marching_tetrahedra(phi: jnp.ndarray, max_tris: int = 200_000,
     if min(d, h, w) < 2:
         raise ValueError(f"marching_tetrahedra needs >= 2 samples per axis, "
                          f"got {phi.shape}")
+    cy, cx = h - 1, w - 1
     n_layers = d - 1
     n_slabs = -(-n_layers // slab_size)
     pad_d = n_slabs * slab_size + 1 - d
@@ -180,20 +174,30 @@ def marching_tetrahedra(phi: jnp.ndarray, max_tris: int = 200_000,
         phi = jnp.concatenate(
             [phi, jnp.full((pad_d, h, w), 1e30, phi.dtype)], axis=0)
 
-    z0s = jnp.arange(n_slabs) * slab_size
+    z0s = jnp.arange(n_slabs, dtype=jnp.int32) * slab_size
+    phi_nograd = jax.lax.stop_gradient(phi)
 
-    def body(_, z0):
-        slab = jax.lax.dynamic_slice_in_dim(phi, z0, slab_size + 1, axis=0)
-        return None, _slab_triangles(slab, z0, iso)
+    def body(carry, z0):
+        count, idx_buf = carry
+        slab = jax.lax.dynamic_slice_in_dim(phi_nograd, z0, slab_size + 1,
+                                            axis=0)
+        valid = _slab_valid(slab, iso)                     # (slab_cand,)
+        vi = valid.astype(jnp.int32)
+        pos = count + jnp.cumsum(vi) - 1                   # global out row
+        dest = jnp.where(valid & (pos < max_tris), pos, max_tris)
+        shape4 = (slab_size, cy, cx, 12)
+        gz = jax.lax.broadcasted_iota(jnp.int32, shape4, 0) + z0
+        gy = jax.lax.broadcasted_iota(jnp.int32, shape4, 1)
+        gx = jax.lax.broadcasted_iota(jnp.int32, shape4, 2)
+        gt = jax.lax.broadcasted_iota(jnp.int32, shape4, 3)
+        gid = ((gz * cy + gy) * cx + gx) * 12 + gt
+        idx_buf = idx_buf.at[dest].set(gid.reshape(-1), mode="drop")
+        return (count + vi.sum(), idx_buf), None
 
-    _, (tris, valid) = jax.lax.scan(body, None, z0s)
-    tris = tris.reshape(-1, 3, 3)
-    valid = valid.reshape(-1)
-    n_cand = valid.shape[0]
+    init = (jnp.int32(0), jnp.zeros((max_tris,), jnp.int32))
+    (n_tris, idx_buf), _ = jax.lax.scan(body, init, z0s)
 
-    n_tris = valid.sum()
-    (idx,) = jnp.nonzero(valid, size=max_tris, fill_value=n_cand)
-    out = jnp.take(tris, jnp.minimum(idx, n_cand - 1), axis=0)
+    out = _gather_triangles(phi, idx_buf, iso, cy, cx)
     out_valid = jnp.arange(max_tris) < jnp.minimum(n_tris, max_tris)
     out = jnp.where(out_valid[:, None, None], out, 0.0)
     return out, out_valid, n_tris

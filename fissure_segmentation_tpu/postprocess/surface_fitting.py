@@ -163,9 +163,11 @@ def _host_mesh_filter(inside: np.ndarray, tris: np.ndarray, tvalid: np.ndarray,
     return np.asarray(tris_world, np.float32), tvalid
 
 
-# fixed-point scale for the uint16 triangle transfer encoding: PSR grids are
-# <= 128^3, so coords*QSCALE < 128*512 = 65536 always fits uint16, with
-# 1/512-voxel quantization error (~1e-3 of a CT voxel at 64^3 on a 256^3 CT).
+# fixed-point scale for the uint16 triangle transfer encoding: marching-
+# tetrahedra coords are bounded by grid_res-1 <= 127, so coords*QSCALE <=
+# 127*512 = 65024 < 65535 fits uint16 (the encode also clips to 65535; any
+# grid_res > 128 needs a smaller QSCALE). Quantization error after rounding
+# is 1/1024 voxel (~5e-4 of a CT voxel at 64^3 on a 256^3 CT).
 _QSCALE = 512.0
 
 

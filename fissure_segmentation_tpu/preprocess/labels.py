@@ -132,7 +132,9 @@ def find_lobes(fissures: jnp.ndarray, lung_mask: jnp.ndarray,
     :return: (lobes (D, H, W) int32, success bool)
     """
     from scipy import ndimage
-    scale = max(min(fissures.shape) / 256.0, 0.25)
+    # clamp to <= 1.0 so full-size (>=256) CTs keep the reference's fixed
+    # 2/2/2/4 radii; only small demo volumes scale the radii down
+    scale = min(1.0, max(min(fissures.shape) / 256.0, 0.25))
     if erode_radius is None:
         erode_radius = max(int(round(2 * scale)), 1)
     if close_radius is None:

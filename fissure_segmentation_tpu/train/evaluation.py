@@ -150,14 +150,24 @@ def test_pipeline(ds: PointDataset, apply_fn, variables, out_dir: str,
             shape = case["shape"]
             world = np.asarray(kpts_to_world(jnp.asarray(x[:, :3]), shape))
             idx_zyx = np.round(world[:, ::-1]).astype(int)
+            # Predictions are now in fissure label space — GT must be too,
+            # or dice compares fissure ids against lobe/binary ids and is
+            # silently garbage. gt_surfaces must likewise be fissure-keyed.
+            gt_key = ("fissure_labels_lr" if label_space == "binary"
+                      else "fissure_labels")
+            if gt_key not in case:
+                raise KeyError(
+                    f"label_space={label_space!r} evaluation needs fissure-"
+                    f"space GT labels (case key {gt_key!r}); the original "
+                    f"{label_space} labels cannot be compared against the "
+                    f"converted predictions")
             if label_space == "binary":
                 pred = binary_to_fissure_labels(pred, idx_zyx,
                                                 case["lung_lr"])
-                y = np.asarray(case.get("fissure_labels_lr", y))
             else:  # lobes
                 pred, _ = lobe_points_to_fissure_labels(
                     pred, idx_zyx, case["lung_mask"])
-                y = np.asarray(case.get("fissure_labels", y))
+            y = np.asarray(case[gt_key])
 
         dices.append(np.asarray(batch_dice(jnp.asarray(pred)[None],
                                            jnp.asarray(y)[None], num_classes)))
