@@ -77,14 +77,16 @@ class _PlateauScheduler:
         self.cooldown_counter = 0
 
     def step(self, metric: float) -> float:
+        # exact torch ReduceLROnPlateau order: best/num_bad update first,
+        # then cooldown ticks every epoch (resetting num_bad), then reduce
         if metric < self.best * (1 - self.threshold):
             self.best = metric
             self.num_bad = 0
-        elif self.cooldown_counter > 0:
-            self.cooldown_counter -= 1
-            self.num_bad = 0
         else:
             self.num_bad += 1
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad = 0
         if self.num_bad > self.patience:
             self.lr = max(self.lr * self.factor, self.min_lr)
             self.cooldown_counter = self.cooldown
