@@ -1,8 +1,9 @@
-"""Benchmark: full per-case fissure segmentation pipeline on one chip.
+"""Benchmark: per-case pipelines + training throughput on one chip.
 
-Measures the reference's *total* per-case runtime definition (BASELINE.md:
-keypoint preprocessing + inference + post-processing; thesis pareto figure
-performance_time_plot.py:31):
+Primary metric (the JSON "value"): the reference's *total* per-case runtime
+definition for the headline DGCNN+Förstner pipeline (BASELINE.md: keypoint
+preprocessing + inference + post-processing; thesis pareto figure
+performance_time_plot.py:31, 1.352 s/case on the reference GPU node).
 
   stage A (device, one jit): Foerstner keypoint detection on a 256^3 CT
       volume (structure tensor + NMS + masked top-k, foerstner.py:76-108
@@ -13,19 +14,27 @@ performance_time_plot.py:31):
       marching tetrahedra, native C++ largest-component filtering) and the
       final mesh -> labelmap rasterization (native SAT voxelizer).
 
+The "details" dict additionally reports (all on the same chip):
+  * the BASELINE.json north-star training metric — clouds/sec/chip for the
+    canonical DGCNN seg fwd+bwd step (batch 32, 2048 pts, k=40 static,
+    NNU loss, Adam), measured as chained optimizer steps in one jit;
+  * the Hessian-keypoint pipeline (reference: 36.81 s/case,
+    performance_time_plot.py:32): Hessian plate-filter enhancement of the
+    256^3 volume + top-k keypoints + the same ensemble + stage B;
+  * the pre-seg-CNN-keypoint pipeline (reference: 6.786 s/case,
+    performance_time_plot.py:33): MobileNetASPP Gaussian-blended sliding
+    window over 256^3 + foreground keypoints + softmax-patch features +
+    the same ensemble + stage B.
+
 Timing methodology: on remote-attached TPUs (axon tunnel) block_until_ready
 can be a no-op and fetching a full array measures the tunnel, not the chip;
-stage A therefore chains REPS data-dependent cases inside ONE jit via
-lax.scan and fetches a single scalar. Stage B inherently crosses the
-host<->device boundary (mesh post-proc is host work), so it is wall-clock
-timed after a warm-up — tunnel transfer makes this a conservative
-(pessimistic) estimate vs. a colocated host.
+device stages therefore chain REPS data-dependent cases inside ONE jit via
+lax.scan and fetch a single scalar. Stage B and the CNN sliding window
+inherently cross the host<->device boundary, so they are wall-clock timed
+after a warm-up — tunnel transfer makes those conservative (pessimistic)
+estimates vs. a colocated host.
 
-Baseline: 1.352 s/case total for DGCNN with Foerstner keypoints on the
-reference's GPU node (performance_time_plot.py:31). vs_baseline > 1 means
-faster than the reference.
-
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", "details"}.
 """
 import json
 import time
@@ -34,17 +43,84 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REFERENCE_CASE_SECONDS = 1.352  # performance_time_plot.py:31
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+REFERENCE_CASE_SECONDS = 1.352          # performance_time_plot.py:31
+REFERENCE_HESSIAN_SECONDS = 36.81       # performance_time_plot.py:32
+REFERENCE_CNN_SECONDS = 6.786           # performance_time_plot.py:33
 SHAPE = (256, 256, 256)
 MAX_KPTS = 20000
 
 
+def _timeit(fn, repeats=3):
+    """min wall time of fn() (fn must synchronize internally)."""
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def bench_train_throughput():
+    """North-star: clouds/sec/chip, DGCNN seg fwd+bwd at the canonical
+    config (BASELINE.md:21 — batch 32, 2048 pts, k=40, static graph)."""
+    import optax
+    from fissure_segmentation_tpu.losses.segmentation import nnu_loss
+    from fissure_segmentation_tpu.models import DGCNNSeg
+
+    B, N, REPS = 32, 2048, 8
+    model = DGCNNSeg(k=40, in_features=3, num_classes=4, dynamic=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3), jnp.float32)
+    y = jax.random.randint(jax.random.PRNGKey(1), (B, N), 0, 4)
+    variables = model.init(jax.random.PRNGKey(2), x, train=False)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def chain(params, batch_stats, opt_state, x, y):
+        def body(carry, i):
+            params, bs, opt = carry
+
+            def loss(p):
+                logits, mut = model.apply(
+                    {"params": p, "batch_stats": bs},
+                    x * (1.0 + 1e-12 * i), train=True,
+                    mutable=["batch_stats"])
+                l, _ = nnu_loss(logits, y)
+                return l, mut["batch_stats"]
+
+            (l, nbs), g = jax.value_and_grad(loss, has_aux=True)(params)
+            upd, opt = tx.update(g, opt, params)
+            return (optax.apply_updates(params, upd), nbs, opt), l
+
+        (params, bs, opt), ls = jax.lax.scan(
+            body, (params, batch_stats, opt_state),
+            jnp.arange(REPS, dtype=jnp.float32))
+        return ls[-1]
+
+    args = (variables["params"], variables["batch_stats"], opt_state, x, y)
+    float(chain(*args))  # compile + warm up
+    dt = _timeit(lambda: float(chain(*args)))
+    step_s = dt / REPS
+    return {"train_dgcnn_clouds_per_sec": round(B / step_s, 1),
+            "train_dgcnn_step_ms": round(step_s * 1e3, 2)}
+
+
 def main():
-    from fissure_segmentation_tpu.data.synthetic import make_synthetic_image_case
+    from fissure_segmentation_tpu.data.synthetic import (
+        make_synthetic_image_case, sample_fissure_surface)
+    from fissure_segmentation_tpu.keypoints.extraction import (
+        get_cnn_keypoints, get_enhancement_keypoints)
     from fissure_segmentation_tpu.keypoints.foerstner import foerstner_keypoints
+    from fissure_segmentation_tpu.keypoints.hessian import \
+        hessian_fissure_enhancement
     from fissure_segmentation_tpu.models import DGCNNSeg, ensemble_predict
+    from fissure_segmentation_tpu.models.seg_cnn import (MobileNetASPP,
+                                                         predict_all_patches)
     from fissure_segmentation_tpu.postprocess.surface_fitting import (
-        mesh_to_labelmap, pointcloud_surface_fitting)
+        fit_fissure_surfaces, mesh_to_labelmap)
     from fissure_segmentation_tpu.utils.coords import kpts_to_grid
 
     case = make_synthetic_image_case(0, shape=SHAPE)
@@ -55,35 +131,46 @@ def main():
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 2048, 3), jnp.float32), train=False)
 
-    def one_case(img, rng):
-        kpts, valid, _ = foerstner_keypoints(img, mask, max_kpts=MAX_KPTS)
+    def ensemble_from_kpts(kpts, valid, rng):
         world = kpts[:, ::-1].astype(jnp.float32)        # zyx -> xyz voxel
         coords = kpts_to_grid(world, SHAPE)              # [-1, 1] grid xyz
         coords = jnp.where(valid[:, None], coords, -1.0)
         probs = ensemble_predict(model.apply, variables, coords, rng,
                                  sample_points=2048, n_runs_min=50)
-        pred = jnp.argmax(probs, axis=-1)
-        return kpts, valid, pred
+        return jnp.argmax(probs, axis=-1)
 
-    # ---- stage A timing: REPS chained cases, single scalar fetched ----
+    def one_case(img, rng):
+        kpts, valid, _ = foerstner_keypoints(img, mask, max_kpts=MAX_KPTS)
+        return kpts, valid, ensemble_from_kpts(kpts, valid, rng)
+
+    def one_case_hessian(img, rng):
+        enh = hessian_fissure_enhancement(img, fissure_mu=-313.5,
+                                          fissure_sigma=62.6)
+        kpts, valid = get_enhancement_keypoints(enh, max_kpts=MAX_KPTS)
+        return kpts, valid, ensemble_from_kpts(kpts, valid, rng)
+
+    def chained_scalar(case_fn, reps):
+        """REPS chained data-dependent cases in one jit -> single scalar."""
+
+        @jax.jit
+        def chained(c0):
+            def body(c, i):
+                _, valid, pred = case_fn(
+                    img * (1.0 + 1e-12 * c),
+                    jax.random.fold_in(jax.random.PRNGKey(2), i))
+                return (jnp.sum(jnp.where(valid, pred, 0)).astype(jnp.float32)
+                        * 1e-20), None
+
+            c, _ = jax.lax.scan(body, c0, jnp.arange(reps), length=reps)
+            return c
+
+        float(chained(jnp.float32(0)))  # compile + warm up
+        return _timeit(lambda: float(chained(jnp.float32(0)))) / reps
+
+    # ---- stage A timing (Foerstner headline + Hessian variant) ----
     REPS = 5
-
-    @jax.jit
-    def chained(c0):
-        def body(c, i):
-            _, valid, pred = one_case(img * (1.0 + 1e-12 * c),
-                                      jax.random.fold_in(jax.random.PRNGKey(2), i))
-            return jnp.sum(jnp.where(valid, pred, 0)).astype(jnp.float32) * 1e-20, None
-        c, _ = jax.lax.scan(body, c0, jnp.arange(REPS), length=REPS)
-        return c
-
-    float(chained(jnp.float32(0)))  # compile + warm up
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(chained(jnp.float32(0)))
-        times.append(time.perf_counter() - t0)
-    stage_a_seconds = min(times) / REPS
+    stage_a_seconds = chained_scalar(one_case, REPS)
+    hessian_stage_seconds = chained_scalar(one_case_hessian, 3)
 
     # ---- device -> host transfer of the inference outputs (timed once;
     # the compute itself is already counted in stage A) ----
@@ -96,20 +183,56 @@ def main():
     kpts, valid, pred = (np.asarray(a) for a in outs)
     fetch_seconds = time.perf_counter() - t0   # transfer only
 
+    # ---- CNN-keypoint pipeline: sliding-window pre-seg CNN (host loop of
+    # jitted 128^3 patches, Gaussian blending) + fg keypoints + softmax-
+    # patch features + the same ensemble ----
+    cnn = MobileNetASPP(num_classes=4)
+    cnn_vars = cnn.init(jax.random.PRNGKey(5),
+                        jnp.zeros((1, 128, 128, 128, 1), jnp.float32),
+                        train=False)
+
+    def cnn_softmax():
+        soft = predict_all_patches(cnn.apply, cnn_vars, img, 4,
+                                   patch_size=(128, 128, 128),
+                                   min_overlap=0.5)
+        jax.block_until_ready(soft)
+        return soft
+
+    soft = cnn_softmax()                       # warm-up (compiles patch fwd)
+    cnn_window_seconds = _timeit(cnn_softmax, repeats=2)
+
+    def one_case_cnn_tail(soft, rng):
+        kpts, valid, _ = get_cnn_keypoints(soft, mask > 0, rng=rng,
+                                           max_kpts=MAX_KPTS)
+        return kpts, valid, ensemble_from_kpts(kpts, valid, rng)
+
+    @jax.jit
+    def cnn_tail_chain(c0, soft):
+        def body(c, i):
+            _, valid, pred = one_case_cnn_tail(
+                soft * (1.0 + 1e-12 * c),
+                jax.random.fold_in(jax.random.PRNGKey(3), i))
+            return (jnp.sum(jnp.where(valid, pred, 0)).astype(jnp.float32)
+                    * 1e-20), None
+
+        c, _ = jax.lax.scan(body, c0, jnp.arange(3), length=3)
+        return c
+
+    float(cnn_tail_chain(jnp.float32(0), soft))
+    cnn_tail_seconds = _timeit(
+        lambda: float(cnn_tail_chain(jnp.float32(0), soft))) / 3
+
     # ---- stage B: per-fissure mesh fit + labelmap (host wall clock) ----
     # All 3 classes fit in ONE vmapped device dispatch
     # (fit_fissure_surfaces); untrained bench weights may starve a class,
     # so classes with <100 predicted points are substituted by
     # representatively-sized GT surface samples (runtime depends on point
     # counts, not values).
-    from fissure_segmentation_tpu.data.synthetic import sample_fissure_surface
-    from fissure_segmentation_tpu.postprocess.surface_fitting import \
-        fit_fissure_surfaces
     scale = np.array(SHAPE[::-1], np.float32) - 1  # [0,1]^3 -> voxel xyz
     gt_rng = np.random.default_rng(3)
     world = kpts[:, ::-1].astype(np.float32)
 
-    pts_list, class_valid_blocks = [], []
+    pts_list = []
     for c in (1, 2, 3):
         pts = world[valid & (pred == c)]
         if len(pts) < 100:
@@ -140,7 +263,14 @@ def main():
     stage_b_seconds = min(times)
     assert labelmap.any(), "pipeline produced an empty labelmap"
 
+    # ---- north-star training throughput ----
+    train_metrics = bench_train_throughput()
+
     case_seconds = stage_a_seconds + fetch_seconds + stage_b_seconds
+    hessian_case_seconds = (hessian_stage_seconds + fetch_seconds
+                            + stage_b_seconds)
+    cnn_case_seconds = (cnn_window_seconds + cnn_tail_seconds
+                        + fetch_seconds + stage_b_seconds)
     print(json.dumps({
         "metric": "full-case pipeline latency (Foerstner keypoints on 256^3 CT"
                   " -> 50x2048-subset DGCNN ensemble -> 3x spectral-PSR mesh"
@@ -148,6 +278,23 @@ def main():
         "value": round(case_seconds, 4),
         "unit": "s/case",
         "vs_baseline": round(REFERENCE_CASE_SECONDS / case_seconds, 3),
+        "details": {
+            **train_metrics,
+            "hessian_pipeline_s_per_case": round(hessian_case_seconds, 4),
+            "hessian_vs_baseline": round(
+                REFERENCE_HESSIAN_SECONDS / hessian_case_seconds, 1),
+            "cnn_pipeline_s_per_case": round(cnn_case_seconds, 4),
+            "cnn_vs_baseline": round(
+                REFERENCE_CNN_SECONDS / cnn_case_seconds, 2),
+            "stage_seconds": {
+                "foerstner_kpts_plus_ensemble": round(stage_a_seconds, 4),
+                "hessian_kpts_plus_ensemble": round(hessian_stage_seconds, 4),
+                "cnn_sliding_window": round(cnn_window_seconds, 4),
+                "cnn_kpts_plus_ensemble": round(cnn_tail_seconds, 4),
+                "fetch": round(fetch_seconds, 4),
+                "surface_fit_plus_labelmap": round(stage_b_seconds, 4),
+            },
+        },
     }))
 
 

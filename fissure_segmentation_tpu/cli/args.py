@@ -126,6 +126,11 @@ def get_dpsr_train_parser():
                        help="degree of gaussian smoothing of normals grid")
     group.add_argument("--sigma", default=10, type=float,
                        help="degree of gaussian smoothing in DPSR")
+    group.add_argument("--dpsr_version", default=2, type=int, choices=(1, 2),
+                       help="1: per-class point extraction + estimated "
+                            "normals (reference models/dpsr_net.py DPSRNet); "
+                            "2: SoftMesh logit splatting (seg_logits_to_mesh"
+                            ".py DPSRNet2, the paper's main variant)")
     parser.set_defaults(loss="dpsr")
     return parser
 

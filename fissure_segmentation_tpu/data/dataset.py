@@ -104,7 +104,8 @@ class PointDataset:
 
     def __init__(self, cases: list[dict], sample_points: int = 2048,
                  exclude_rhf: bool = False, lobes: bool = False,
-                 binary: bool = False, do_augmentation: bool = True):
+                 binary: bool = False, do_augmentation: bool = True,
+                 copd: bool = False):
         if lobes and binary:
             raise NotImplementedError("binary + lobes not supported (parity data.py:380)")
         self.cases = cases
@@ -113,6 +114,7 @@ class PointDataset:
         self.lobes = lobes
         self.binary = binary
         self.do_augmentation = do_augmentation
+        self.copd = copd
         for c in self.cases:
             if lobes:
                 if "lobes" not in c:
@@ -128,7 +130,14 @@ class PointDataset:
         files = sorted(glob(os.path.join(folder, "*_points_*.npz")))
         if not files:
             raise FileNotFoundError(f"no *_points_*.npz cases in {folder}")
-        return cls([load_case_npz(f) for f in files], **kwargs)
+        cases = [load_case_npz(f) for f in files]
+        if kwargs.get("copd"):
+            # COPD transfer-validation set (reference data.py:407-414):
+            # keep only the COPD cohort's cases
+            cases = [c for c in cases if "COPD" in str(c["case_id"])]
+            if not cases:
+                raise FileNotFoundError(f"no COPD cases in {folder}")
+        return cls(cases, **kwargs)
 
     def __len__(self):
         return len(self.cases)
@@ -176,7 +185,12 @@ class PointDataset:
         return build_store(cases, pad_to=pad_to)
 
     def split_data_set(self, split: dict, fold_nr: int | None = None):
-        """Split into (train_ds, val_ds) by case id lists (data.py:226-252)."""
+        """Split into (train_ds, val_ds) by case id lists (data.py:226-252).
+
+        COPD transfer validation (data.py:486-498): the whole dataset is a
+        pure validation set for every fold — returns (None, self)."""
+        if self.copd:
+            return None, self
         tr_ids = {tuple(x) if isinstance(x, (list, tuple)) else (x, None)
                   for x in split["train"]}
         vl_ids = {tuple(x) if isinstance(x, (list, tuple)) else (x, None)

@@ -92,6 +92,122 @@ def soft_mesh_surface_samples(seg_logits: jnp.ndarray, coords: jnp.ndarray,
             psr.reshape(b, c, *res))
 
 
+def per_class_surface_samples(seg_logits: jnp.ndarray, coords: jnp.ndarray,
+                              rng: jax.Array, res=(128, 128, 128),
+                              dpsr_sigma: float = 10.0,
+                              dpsr_scale: bool = True, dpsr_shift: bool = True,
+                              k_normals: int = 30, max_tris: int = 100_000,
+                              n_surface_samples: int = 2048,
+                              min_points: int = 4):
+    """DPSRNet v1 point->mesh path (reference models/dpsr_net.py:143-180):
+    hard-argmax per-class point extraction -> kNN-PCA point normals ->
+    spectral DPSR -> iso-surface samples.
+
+    The reference loops over (batch, class) and builds dynamic subsets
+    (`coords[b, :, seg_argmax == label]`); here extraction is fixed-shape:
+    every class keeps the full (B, N) cloud with a validity mask — masked
+    points get zero normals (contributing nothing to the rasterized normal
+    field, exactly like being absent) and are excluded from the kNN
+    neighborhoods and the DPSR shift normalization via `point_weights`.
+
+    Like the reference (its own `Todo: this loses the gradients` at
+    dpsr_net.py:144), the argmax class selection is non-differentiable;
+    gradients flow into coords/normals of the selected points only.
+
+    :param seg_logits: (B, N, C) raw logits
+    :param coords: (B, N, 3) xyz grid coords in [-1, 1]
+    :return: (samples (B, C-1, S, 3) xyz grid coords, valid (B, C-1, S),
+              psr grids (B, C-1, *res))
+    """
+    b, n, cc = seg_logits.shape
+    c = cc - 1
+    pred = jnp.argmax(seg_logits, axis=-1)                   # (B, N)
+    coords = jnp.clip(coords, -1.0, 1.0)
+    v_zyx = (coords[..., ::-1] + 1.0) / 2.0                  # (B, N, 3) zyx
+
+    # (B, C', N) per-class masks -> flatten classes into the batch
+    class_ids = jnp.arange(1, cc)
+    masks = (pred[:, None, :] == class_ids[None, :, None])   # (B, C', N)
+    masks_f = masks.reshape(b * c, n)
+    v_rep = jnp.repeat(v_zyx, c, axis=0)                     # (B*C', N, 3)
+
+    from ..ops.normals import estimate_pointcloud_normals
+    from ..ops.splat import point_rasterize
+    k = min(k_normals, n - 1)
+    normals = estimate_pointcloud_normals(v_rep, k=k, mask=masks_f)
+    normals = jnp.where(masks_f[..., None], normals, 0.0)
+    ras = point_rasterize(v_rep, normals, tuple(res))        # (B*C', 3, *res)
+    psr = spectral_psr(v_rep, ras, tuple(res), dpsr_sigma,
+                       scale=dpsr_scale, shift=dpsr_shift,
+                       point_weights=masks_f.astype(jnp.float32))
+    # classes with too few points: no reliable surface (reference emits an
+    # empty mesh); also guards the scale division for empty normal fields
+    class_ok = masks_f.sum(-1) >= min_points                 # (B*C',)
+    psr = jnp.where(class_ok[:, None, None, None],
+                    jnp.nan_to_num(psr, nan=1.0, posinf=1.0, neginf=1.0),
+                    1.0)
+
+    def extract(phi, key, ok):
+        tris, valid, _ = marching_tetrahedra(phi, max_tris=max_tris)
+        pts = sample_points_on_triangles(key, tris, valid, n_surface_samples)
+        has_surface = valid.any() & ok
+        return pts, jnp.broadcast_to(has_surface, (n_surface_samples,))
+
+    keys = jax.random.split(rng, b * c)
+    pts, valid = jax.lax.map(lambda args: extract(*args),
+                             (psr, keys, class_ok))
+    sz = jnp.asarray(res, jnp.float32) - 1
+    pts = (pts / sz) * 2.0 - 1.0
+    pts = pts[..., ::-1]                                     # zyx -> xyz
+    return (pts.reshape(b, c, n_surface_samples, 3),
+            valid.reshape(b, c, n_surface_samples),
+            psr.reshape(b, c, *res))
+
+
+class DPSRNet(nn.Module):
+    """DPSR-Net v1 (reference models/dpsr_net.py:107-185): seg-net +
+    per-class hard extraction -> estimated point normals -> spectral DPSR.
+    Same output contract as DPSRNet2."""
+    seg_net_class: str
+    k: int
+    in_features: int
+    num_classes: int
+    spatial_transformer: bool = False
+    dynamic: bool = True
+    image_feat_module: bool = False
+    dpsr_res: Sequence[int] = (128, 128, 128)
+    dpsr_sigma: float = 10.0
+    dpsr_scale: bool = True
+    dpsr_shift: bool = True
+    k_normals: int = 30
+    max_tris: int = 100_000
+    n_surface_samples: int = 2048
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 rng: jax.Array | None = None, return_psr: bool = False):
+        seg_cls = get_point_seg_model_class(self.seg_net_class)
+        seg_net = seg_cls(k=self.k, in_features=self.in_features,
+                          num_classes=self.num_classes,
+                          spatial_transformer=self.spatial_transformer,
+                          dynamic=self.dynamic,
+                          image_feat_module=self.image_feat_module)
+        seg_logits = seg_net(x, train)
+        coords = x[..., :3]
+        if rng is None:
+            rng = self.make_rng("surface") if self.has_rng("surface") \
+                else jax.random.PRNGKey(0)
+        samples, valid, psr = per_class_surface_samples(
+            seg_logits, coords, rng, res=tuple(self.dpsr_res),
+            dpsr_sigma=self.dpsr_sigma, dpsr_scale=self.dpsr_scale,
+            dpsr_shift=self.dpsr_shift, k_normals=self.k_normals,
+            max_tris=self.max_tris,
+            n_surface_samples=self.n_surface_samples)
+        if return_psr:
+            return seg_logits, samples, valid, psr
+        return seg_logits, samples, valid
+
+
 class DPSRNet2(nn.Module):
     """Seg-net + SoftMesh (seg_logits_to_mesh.py:14-55)."""
     seg_net_class: str

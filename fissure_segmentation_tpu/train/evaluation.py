@@ -80,6 +80,7 @@ def evaluate_case(pred_labels: np.ndarray, coords_grid: np.ndarray, case: dict,
     n_f = num_classes - 1
     out = {k: np.full(n_f, np.nan) for k in ("assd", "sdsd", "hd", "hd95")}
     out["missing"] = np.ones(n_f, bool)
+    out["meshes"] = [None] * n_f   # fitted (tris, valid) per fissure class
     gt_surfaces = case.get("gt_surfaces")
     for c in range(1, num_classes):
         pts = coords_grid[pred_labels == c]
@@ -95,6 +96,7 @@ def evaluate_case(pred_labels: np.ndarray, coords_grid: np.ndarray, case: dict,
         if not valid.any():
             continue
         out["missing"][c - 1] = False
+        out["meshes"][c - 1] = (np.asarray(tris), np.asarray(valid))
         if gt_surfaces is None or c not in gt_surfaces:
             continue
         pred_samples = np.asarray(sample_points_on_triangles(
@@ -110,10 +112,54 @@ def evaluate_case(pred_labels: np.ndarray, coords_grid: np.ndarray, case: dict,
     return out
 
 
+def _export_case_artifacts(case_id: str, coords_grid: np.ndarray,
+                           pred: np.ndarray, targ: np.ndarray, meshes,
+                           case: dict, mesh_dir: str, label_dir: str,
+                           plot_dir: str, show: bool = False) -> None:
+    """Per-case test artifacts (reference train.py:195-321): predicted
+    fissure meshes as OBJ, voxelized predicted labelmap as NIfTI, and
+    predicted/target point-cloud scatter PNGs."""
+    from ..postprocess.surface_fitting import mesh_to_labelmap
+    from ..utils.nifti import save_nifti
+    from ..utils.objio import save_obj
+    from ..utils.visualization import plot_point_cloud
+
+    shape = case["shape"]
+    world = np.asarray(kpts_to_world(jnp.asarray(coords_grid), shape))
+    plot_point_cloud(world, pred, title=f"{case_id} point cloud prediction",
+                     show=show,
+                     path=os.path.join(plot_dir,
+                                       f"{case_id}_point_cloud_pred.png"))
+    plot_point_cloud(world, targ, title=f"{case_id} point cloud target",
+                     show=show,
+                     path=os.path.join(plot_dir,
+                                       f"{case_id}_point_cloud_targ.png"))
+
+    present = []
+    for c, m in enumerate(meshes, start=1):
+        if m is None:
+            present.append((np.zeros((0, 3, 3), np.float32),
+                            np.zeros((0,), bool)))
+            continue
+        tris, valid = m
+        t = tris[valid]
+        verts = t.reshape(-1, 3)
+        faces = np.arange(len(verts), dtype=np.int32).reshape(-1, 3)
+        save_obj(os.path.join(mesh_dir, f"{case_id}_fissure{c}_pred.obj"),
+                 verts, faces)
+        present.append((tris, valid))
+
+    labelmap = mesh_to_labelmap(present, shape)
+    save_nifti(os.path.join(label_dir, f"{case_id}_fissures_pred.nii.gz"),
+               labelmap.astype(np.uint8),
+               spacing=tuple(case.get("spacing", (1.0, 1.0, 1.0))))
+
+
 def test_pipeline(ds: PointDataset, apply_fn, variables, out_dir: str,
                   sample_points: int = 2048, n_runs_min: int = 50,
                   grid_res=(64, 64, 64), seed: int = 42, show: bool = False,
-                  label_space: str = "fissures"):
+                  label_space: str = "fissures",
+                  export_artifacts: bool = True, copd: bool = False):
     """Full test harness over a dataset (train.py:179-346).
 
     :param label_space: prediction label semantics —
@@ -121,9 +167,23 @@ def test_pipeline(ds: PointDataset, apply_fn, variables, out_dir: str,
         random-walk fill, train.py:230-247; cases must carry a
         ``lung_mask`` volume) or "binary" (left/right relabel via the
         ``lung_lr`` volume, train.py:252-260 + fissure_utils.py:8).
+    :param show: display the per-case point-cloud plots interactively in
+        addition to saving them (reference train.py `show`)
+    :param export_artifacts: write per-case artifacts under
+        ``out_dir/test_predictions/`` — predicted fissure meshes (OBJ,
+        meshes/), the mesh-voxelized predicted labelmap (NIfTI,
+        labelmaps/) and predicted/target point-cloud plots (PNG, plots/)
+        — mirroring reference train.py:195-321.
     :return: dict of per-class aggregate metric arrays
     """
     os.makedirs(out_dir, exist_ok=True)
+    if export_artifacts:
+        pred_dir = os.path.join(out_dir, "test_predictions")
+        mesh_dir = os.path.join(pred_dir, "meshes")
+        label_dir = os.path.join(pred_dir, "labelmaps")
+        plot_dir = os.path.join(pred_dir, "plots")
+        for d in (mesh_dir, label_dir, plot_dir):
+            os.makedirs(d, exist_ok=True)
     if label_space == "fissures":
         num_classes = ds.num_classes
     elif label_space == "binary":
@@ -141,9 +201,10 @@ def test_pipeline(ds: PointDataset, apply_fn, variables, out_dir: str,
         probs = ensemble_predict(apply_fn, variables, jnp.asarray(x), r,
                                  sample_points=min(sample_points, x.shape[0]),
                                  n_runs_min=n_runs_min)
-        pred = np.asarray(jnp.argmax(probs, axis=-1))
-        jax.block_until_ready(probs)
+        argmax = jnp.argmax(probs, axis=-1)
+        jax.block_until_ready(argmax)          # compute only ...
         inference_times.append(time.time() - t0)
+        pred = np.asarray(argmax)              # ... transfer not timed
 
         if label_space != "fissures":
             case = ds.cases[i]
@@ -175,7 +236,14 @@ def test_pipeline(ds: PointDataset, apply_fn, variables, out_dir: str,
         per_case.append(evaluate_case(pred, x[:, :3], ds.cases[i], num_classes,
                                       grid_res=grid_res, seed=seed))
         post_times.append(time.time() - t0)
-        ids.append("_".join(str(s) for s in ds.ids[i]))
+        case_id = "_".join(str(s) for s in ds.ids[i])
+        ids.append(case_id)
+
+        if export_artifacts:
+            _export_case_artifacts(
+                case_id, np.asarray(x[:, :3]), pred, np.asarray(y),
+                per_case[-1]["meshes"], ds.cases[i], mesh_dir, label_dir,
+                plot_dir, show=show)
 
     dices = np.stack(dices)
     metrics = {}
@@ -185,15 +253,16 @@ def test_pipeline(ds: PointDataset, apply_fn, variables, out_dir: str,
 
     mean = lambda a: np.nanmean(a, axis=0)
     std = lambda a: np.nanstd(a, axis=0)
-    write_results(os.path.join(out_dir, "test_results.csv"),
+    suffix = "_copd" if copd else ""          # reference train.py:342,176
+    write_results(os.path.join(out_dir, f"test_results{suffix}.csv"),
                   dices.mean(0), dices.std(0),
                   mean(metrics["assd"]), std(metrics["assd"]),
                   mean(metrics["sdsd"]), std(metrics["sdsd"]),
                   mean(metrics["hd"]), std(metrics["hd"]),
                   mean(metrics["hd95"]), std(metrics["hd95"]),
                   missing.mean(0))
-    write_raw_results_per_instance(out_dir, ids=ids, dice=dices[:, 1:],
-                                   assd=metrics["assd"])
+    write_raw_results_per_instance(out_dir, ids=ids, copd=copd,
+                                   dice=dices[:, 1:], assd=metrics["assd"])
     write_speed_results(out_dir, inference_times, post_times)
     return {"dice": dices.mean(0), "assd": mean(metrics["assd"]),
             "sdsd": mean(metrics["sdsd"]), "hd": mean(metrics["hd"]),

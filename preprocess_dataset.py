@@ -40,6 +40,42 @@ def process_case(img, lobes, spacing, out_dir: str, case: str,
     return out
 
 
+def evaluate_enhancement(folder: str) -> None:
+    """Hessian-enhancement quality harness over processed cases
+    (reference fissure_enhancement.py __main__ + :223-310): per case the
+    ROC/AP summary and the Dice/recall/accuracy threshold sweep, plots per
+    case and a summary CSV."""
+    import csv
+
+    import jax.numpy as jnp
+
+    from fissure_segmentation_tpu.keypoints import (fissure_candidates,
+                                                    hessian_fissure_enhancement)
+
+    files = sorted(glob(os.path.join(folder, "*_img_*.npz")))
+    if not files:
+        raise FileNotFoundError(f"no *_img_*.npz cases in {folder}")
+    eval_dir = os.path.join(folder, "enhancement_eval")
+    os.makedirs(eval_dir, exist_ok=True)
+    rows = [["case", "roc_auc_all", "avg_prec_all", "best_threshold",
+             "best_dice"]]
+    for path in files:
+        case = os.path.basename(path).split("_img_")[0]
+        with np.load(path) as z:
+            img, fissures = z["image"], z["fissures"]
+        enhanced = np.asarray(hessian_fissure_enhancement(
+            jnp.asarray(img), fissure_mu=-313.5, fissure_sigma=62.6))
+        roc_auc, avg_prec, th, dice, _, _ = fissure_candidates(
+            enhanced, fissures, img_dir=eval_dir, img_prefix=f"{case}_")
+        rows.append([case, roc_auc.get("all"), avg_prec.get("all"),
+                     float(th[int(np.argmax(dice))]), float(dice.max())])
+        print(f"{case}: AUC={roc_auc.get('all'):.4f} "
+              f"AP={avg_prec.get('all'):.4f} best dice={dice.max():.4f}")
+    with open(os.path.join(eval_dir, "enhancement_eval.csv"), "w") as f:
+        csv.writer(f).writerows(rows)
+    print(f"wrote {eval_dir}/enhancement_eval.csv")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="preprocess a CT dataset")
     parser.add_argument("--data_dir", default=None,
@@ -49,9 +85,17 @@ def main(argv=None):
                         help="generate N synthetic demo cases instead")
     parser.add_argument("--kp_mode", default="foerstner")
     parser.add_argument("--sequence", default="fixed")
+    parser.add_argument("--evaluate_enhancement", action="store_true",
+                        help="evaluate the Hessian fissure-enhancement "
+                             "filter (ROC/AP + Dice-vs-threshold sweep, "
+                             "fissure_enhancement.py:223-310) over the "
+                             "processed *_img_*.npz cases in --output")
     args = parser.parse_args(argv)
 
     os.makedirs(args.output, exist_ok=True)
+    if args.evaluate_enhancement:
+        evaluate_enhancement(args.output)
+        return
     if args.synthetic:
         from fissure_segmentation_tpu.data.synthetic import \
             make_synthetic_image_case

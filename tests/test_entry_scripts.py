@@ -65,6 +65,45 @@ def test_train_dpsr_entry(tmp_path):
     assert os.path.exists(tmp_path / "fold0" / "model.fst")
 
 
+@pytest.mark.slow
+def test_train_dpsr_v1_entry(tmp_path):
+    """DPSRNet v1 (per-class extraction + estimated normals) selectable via
+    --dpsr_version 1 (reference models/dpsr_net.py:107-185)."""
+    import train_dpsr_net
+    parser = train_dpsr_net.get_dpsr_train_parser()
+    args = parser.parse_args(
+        ["--ds", "synthetic", "--output", str(tmp_path), "--epochs", "2",
+         "--batch", "2", "--pts", "128", "--k", "8", "--fold", "0", "--static",
+         "--scheduler", "none", "--res", "32", "32", "32", "--train_only",
+         "--dpsr_version", "1"])
+    train_dpsr_net.run(args)
+    assert os.path.exists(tmp_path / "fold0" / "model.fst")
+
+
+@pytest.mark.slow
+def test_copd_transfer_validation_entry(tmp_path):
+    """--copd swaps the validation set for the COPD cohort and writes _copd
+    CSVs (reference data.py:486-498, train.py:342,563,631-634)."""
+    import train_point_seg
+    parser = train_point_seg.get_point_segmentation_parser()
+    base = ["--ds", "synthetic", "--output", str(tmp_path), "--epochs", "2",
+            "--batch", "4", "--pts", "128", "--k", "8", "--fold", "0",
+            "--static", "--scheduler", "none", "--coords"]
+    train_point_seg.run(parser.parse_args(base + ["--train_only"]))
+    assert os.path.exists(tmp_path / "fold0" / "model.fst")
+
+    train_point_seg.run(parser.parse_args(base + ["--copd"]))
+    assert os.path.exists(tmp_path / "fold0" / "test" / "test_results_copd.csv")
+    assert os.path.exists(tmp_path / "fold0" / "test" /
+                          "dice_per_instance_copd.csv")
+    assert os.path.exists(tmp_path / "cv_results_copd.csv")
+    # the COPD cohort (not the training cases) was evaluated
+    import csv
+    with open(tmp_path / "fold0" / "test" / "dice_per_instance_copd.csv") as f:
+        rows = list(csv.reader(f))
+    assert any("COPD" in r[0] for r in rows[1:])
+
+
 def test_ae_reg_entry(tmp_path):
     """Train tiny seg + AE nets via their entry points, then compose."""
     import train_pc_ae

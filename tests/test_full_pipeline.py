@@ -38,3 +38,18 @@ def test_train_then_full_test_pipeline(tmp_path):
     assert (tmp_path / "test" / "test_results.csv").exists()
     assert (tmp_path / "test" / "dice_per_instance.csv").exists()
     assert (tmp_path / "test" / "inference_time.csv").exists()
+    # per-case artifacts (reference train.py:195-321): meshes, labelmap,
+    # pred/target plots for every test case
+    pred_dir = tmp_path / "test" / "test_predictions"
+    for i in range(len(val)):
+        cid = "_".join(str(s) for s in val.ids[i])
+        assert (pred_dir / "labelmaps" / f"{cid}_fissures_pred.nii.gz").exists()
+        assert (pred_dir / "plots" / f"{cid}_point_cloud_pred.png").exists()
+        assert (pred_dir / "plots" / f"{cid}_point_cloud_targ.png").exists()
+    meshes = list((pred_dir / "meshes").glob("*_fissure*_pred.obj"))
+    assert len(meshes) >= 2   # >= 2 of 3 fissures reconstructed, 2 cases
+    # labelmap is a loadable NIfTI with fissure labels
+    from fissure_segmentation_tpu.utils.nifti import load_nifti
+    img = load_nifti(str(next(iter((pred_dir / "labelmaps").glob("*.nii.gz")))))
+    assert img.array.shape == tuple(val.cases[0]["shape"])
+    assert img.array.max() >= 1

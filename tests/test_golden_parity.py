@@ -233,6 +233,75 @@ def test_grid_interp_matches_reference_torch(rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+# -------------------------------------------------------------------- LPCA
+
+def _bumpy_shapes(rng, n=24, grid=10):
+    """Synthetic corresponding point sets with BOTH global (scale) and
+    localized (per-corner bump) variation — the regime LPCA targets."""
+    gy, gx = np.meshgrid(np.linspace(-1, 1, grid), np.linspace(-1, 1, grid),
+                         indexing="ij")
+    base = np.stack([gx.ravel(), gy.ravel(), np.zeros(grid * grid)], -1)
+    centers = np.array([[-1, -1, 0], [1, 1, 0], [-1, 1, 0], [1, -1, 0]],
+                       np.float64)
+    shapes = []
+    for _ in range(n):
+        s = base * (1.0 + 0.05 * rng.standard_normal())
+        for c in centers:
+            w = np.exp(-((base - c) ** 2).sum(-1) / 0.18)
+            s = s + np.array([0, 0, 1.0]) * w[:, None] * \
+                0.3 * rng.standard_normal()
+        shapes.append(s)
+    return np.asarray(shapes)                       # (N, P, 3)
+
+
+def _recon_rmse(x, mean, basis):
+    xc = x - mean
+    rec = mean + (xc @ basis) @ basis.T
+    return float(np.sqrt(((rec - x) ** 2).mean()))
+
+
+def test_lssm_matches_reference_lpca(rng):
+    """fit_lssm vs the reference kernelized LPCA (numpy, imported from
+    /root/reference): same schedule/merge algorithm, with our dense eigh
+    replacing the reference's randomized sampled eigensolver — so we compare
+    reconstruction quality and model size, not bitwise bases."""
+    ref_mod = import_ref("shape_model.LPCA.model")
+    from fissure_segmentation_tpu.shape_model.lssm import fit_lssm
+
+    shapes = _bumpy_shapes(rng)
+    n, p, _ = shapes.shape
+    x = shapes.reshape(n, -1)
+
+    np.random.seed(0)  # the reference eigensolver samples with np.random
+    ref = ref_mod.LPCA(num_levels=3, target_variation=0.95)
+    ref.klpca(x.T.copy())                           # (F, N) data matrix
+    ref_basis = np.asarray(ref.eigenvectors)
+    ref_mean = np.asarray(ref.mean_vector).reshape(1, -1)
+
+    ours = fit_lssm(shapes, num_levels=3, target_variance=0.95)
+    our_basis = np.asarray(ours.eigenvectors)[0]
+    our_mean = np.asarray(ours.mean_shape)
+
+    np.testing.assert_allclose(our_mean, ref_mean, atol=1e-5)
+    # similar model size (sampled vs exact eigensolver can differ slightly)
+    assert abs(our_basis.shape[1] - ref_basis.shape[1]) <= \
+        max(3, ref_basis.shape[1] // 4), (our_basis.shape, ref_basis.shape)
+
+    err_ref = _recon_rmse(x, ref_mean, ref_basis)
+    err_ours = _recon_rmse(x, our_mean, our_basis)
+    # exact eigensolver must not be worse than the sampled approximation
+    # (small slack for differing mode counts)
+    assert err_ours <= err_ref * 1.2 + 1e-6, (err_ours, err_ref)
+
+    # localized levels must beat a plain PCA cut at the same variance on
+    # this localized-variation data (the point of LPCA)
+    from fissure_segmentation_tpu.shape_model.ssm import fit_ssm
+    global_ssm = fit_ssm(shapes, target_variance=0.95)
+    err_global = _recon_rmse(x, np.asarray(global_ssm.mean_shape),
+                             np.asarray(global_ssm.eigenvectors)[0])
+    assert err_ours <= err_global + 1e-9
+
+
 # --------------------------------------------------------------- scheduler
 
 def test_plateau_scheduler_trace_matches_torch():

@@ -96,3 +96,37 @@ def test_hessian_enhancement_highlights_dark_plane():
     off_plane = enhanced[8, 8:24, 8:24].mean()
     assert on_plane > 0.5
     assert on_plane > off_plane + 0.4
+
+
+def test_enhancement_threshold_sweep_and_roc(tmp_path, rng):
+    """fissure_candidates (fissure_enhancement.py:223-310 counterpart):
+    a well-separated enhancement image gives high AUC/AP and a peaked
+    dice-vs-threshold curve; artifacts are written."""
+    from fissure_segmentation_tpu.keypoints.enhancement_eval import \
+        fissure_candidates
+
+    labels = np.zeros((24, 24, 24), np.int32)
+    labels[8, 4:20, 4:20] = 1     # "left oblique" plane
+    labels[16, 4:20, 4:20] = 3    # "right horizontal" plane
+    enhanced = rng.uniform(0.0, 0.25, labels.shape).astype(np.float32)
+    enhanced[labels != 0] = rng.uniform(0.6, 1.0, (labels != 0).sum())
+
+    roc_auc, avg_prec, th, dice, recall, acc = fissure_candidates(
+        enhanced, labels, img_dir=str(tmp_path))
+    assert roc_auc["all"] > 0.99 and roc_auc[1] > 0.99
+    assert avg_prec["all"] > 0.9
+    assert 3 not in [k for k in roc_auc if k == "all_but_RHF"]
+    assert roc_auc["all_but_RHF"] > 0.99
+    assert len(th) == 21 and dice.shape == (21,)
+    # dice peaks between the noise band and the signal band
+    best = th[np.argmax(dice)]
+    assert 0.25 <= best <= 0.6, best
+    assert recall[0] == 1.0            # threshold 0 predicts everything
+    assert acc[-1] > 0.9               # threshold 1 predicts nothing
+    assert (tmp_path / "roc.png").exists()
+    assert (tmp_path / "metrics_per_threshold.png").exists()
+
+    # fixed threshold variant
+    _, _, th1, dice1, _, _ = fissure_candidates(enhanced, labels,
+                                                fixed_thresh=0.5)
+    assert len(th1) == 1 and dice1[0] > 0.9

@@ -23,7 +23,7 @@ from fissure_segmentation_tpu.data import (PointToMeshDS, create_split,
 from fissure_segmentation_tpu.data.mesh_dataset import sample_mesh_batch
 from fissure_segmentation_tpu.data.store import sample_batch
 from fissure_segmentation_tpu.losses import get_loss_fn
-from fissure_segmentation_tpu.models import DPSRNet2, load_model
+from fissure_segmentation_tpu.models import DPSRNet, DPSRNet2, load_model
 from fissure_segmentation_tpu.train import ModelTrainer, TrainConfig
 from fissure_segmentation_tpu.train.evaluation import test_pipeline
 from fissure_segmentation_tpu.utils.detached_run import maybe_run_detached_cli
@@ -77,15 +77,19 @@ def run(args):
     # surface-triangle budget scales with the PSR grid's surface area
     # (reference uses a fixed 100k at 128^3; ~8*r^2 matches that)
     max_tris = max(2048, 8 * args.res[0] * args.res[1])
-    model = DPSRNet2(seg_net_class=args.model, k=args.k,
-                     in_features=ds.n_features, num_classes=ds.num_classes,
-                     spatial_transformer=args.transformer,
-                     dynamic=not args.static,
-                     image_feat_module=args.img_feat_extractor,
-                     normals_smoothing_sigma=args.normals_sigma,
-                     dpsr_res=tuple(args.res), dpsr_sigma=args.sigma,
-                     max_tris=max_tris,
-                     n_surface_samples=min(2048, 2 * args.pts))
+    common = dict(seg_net_class=args.model, k=args.k,
+                  in_features=ds.n_features, num_classes=ds.num_classes,
+                  spatial_transformer=args.transformer,
+                  dynamic=not args.static,
+                  image_feat_module=args.img_feat_extractor,
+                  dpsr_res=tuple(args.res), dpsr_sigma=args.sigma,
+                  max_tris=max_tris,
+                  n_surface_samples=min(2048, 2 * args.pts))
+    if getattr(args, "dpsr_version", 2) == 1:
+        # v1: per-class extraction + estimated normals (dpsr_net.py:107-185)
+        model = DPSRNet(**common)
+    else:
+        model = DPSRNet2(normals_smoothing_sigma=args.normals_sigma, **common)
 
     case_ids = [list(i) for i in ds.ids]
     split = load_split_file(args.split) if args.split else create_split(case_ids, k=5)

@@ -21,8 +21,7 @@ from fissure_segmentation_tpu.cli import (get_point_segmentation_parser,
                                           load_args_for_testing, store_args)
 from fissure_segmentation_tpu.data import (PointDataset, create_split,
                                            load_split_file,
-                                           make_synthetic_dataset,
-                                           save_split_file)
+                                           make_synthetic_dataset)
 from fissure_segmentation_tpu.losses import get_loss_fn
 from fissure_segmentation_tpu.models import (get_point_seg_model_class,
                                              load_model)
@@ -33,15 +32,22 @@ from fissure_segmentation_tpu.utils.detached_run import maybe_run_detached_cli
 
 
 def build_dataset(args) -> PointDataset:
+    copd = bool(getattr(args, "copd", False))
+    kwargs = dict(sample_points=args.pts, exclude_rhf=args.exclude_rhf,
+                  lobes=args.data == "lobes", binary=args.binary, copd=copd)
     if args.ds == "synthetic" or args.data_dir is None:
+        if copd:
+            # distinct synthetic cohort standing in for the COPD transfer-
+            # validation data (reference data.py:486-498: a separate dataset
+            # becomes the validation set of every fold)
+            cases = make_synthetic_dataset(6, n_points=8000, gt_surfaces=True,
+                                           seed=777)
+            for i, c in enumerate(cases):
+                c["case_id"] = f"COPD{i:02d}"
+            return PointDataset(cases, **kwargs)
         cases = make_synthetic_dataset(20, n_points=8000, gt_surfaces=True)
-        return PointDataset(cases, sample_points=args.pts,
-                            exclude_rhf=args.exclude_rhf,
-                            lobes=args.data == "lobes", binary=args.binary)
-    return PointDataset.from_folder(args.data_dir, sample_points=args.pts,
-                                    exclude_rhf=args.exclude_rhf,
-                                    lobes=args.data == "lobes",
-                                    binary=args.binary)
+        return PointDataset(cases, **kwargs)
+    return PointDataset.from_folder(args.data_dir, **kwargs)
 
 
 def build_model(args, ds: PointDataset):
@@ -86,6 +92,12 @@ def run(args):
         args = load_args_for_testing(args.output, args)
     else:
         store_args(args, args.output)
+    if args.copd:
+        # COPD = pure transfer validation of already-trained folds
+        # (reference train.py:631-634)
+        print("Validating with COPD dataset")
+        args.test_only = True
+        args.speed = False
 
     ds = build_dataset(args)
     model = build_model(args, ds)
@@ -95,7 +107,6 @@ def run(args):
         split = load_split_file(args.split)
     else:
         split = create_split(ds.ids, k=5)
-    save_split_file(split, os.path.join(args.output, "cross_val_split.json"))
 
     cfg = TrainConfig(epochs=args.epochs, lr=args.lr, batch_size=args.batch,
                       weight_decay=args.wd, scheduler=args.scheduler)
@@ -106,34 +117,30 @@ def run(args):
         speed_test(ds, model, variables, args.output, args.pts)
         return
 
-    fold_metrics = []
-    folds = range(len(split)) if args.fold is None else [args.fold]
-    for fold in folds:
-        print(f"------------ FOLD {fold} ----------------------")
-        fold_dir = os.path.join(args.output, f"fold{fold}")
-        train_ds, val_ds = ds.split_data_set(split[fold], fold_nr=fold)
+    def train_fn(train_ds, fold_dir, fold):
+        mesh = None
+        if getattr(args, "dp", False) and len(jax.devices()) > 1:
+            from fissure_segmentation_tpu.parallel import make_mesh
+            mesh = make_mesh(("data",))
+        trainer = ModelTrainer(model, train_ds, loss_fn, fold_dir,
+                               TrainConfig(**{**cfg.__dict__,
+                                              "seed": cfg.seed + fold}),
+                               mesh=mesh)
+        trainer.run()
 
-        if not args.test_only:
-            mesh = None
-            if getattr(args, "dp", False) and len(jax.devices()) > 1:
-                from fissure_segmentation_tpu.parallel import make_mesh
-                mesh = make_mesh(("data",))
-            trainer = ModelTrainer(model, train_ds, loss_fn, fold_dir,
-                                   TrainConfig(**{**cfg.__dict__,
-                                                  "seed": cfg.seed + fold}),
-                                   mesh=mesh)
-            trainer.run()
+    def test_fn(val_ds, fold_dir, fold):
+        _, variables = load_model(os.path.join(fold_dir, "model.fst"))
+        val_ds.do_augmentation = False
+        return test_pipeline(val_ds, model.apply, variables,
+                             os.path.join(fold_dir, "test"),
+                             sample_points=args.pts, copd=args.copd)
 
-        if not args.train_only:
-            _, variables = load_model(os.path.join(fold_dir, "model.fst"))
-            val_ds.do_augmentation = False
-            fold_metrics.append(test_pipeline(
-                val_ds, model.apply, variables,
-                os.path.join(fold_dir, "test"), sample_points=args.pts))
-
-    if fold_metrics:
-        from fissure_segmentation_tpu.train.cross_val import _write_cv_results
-        _write_cv_results(os.path.join(args.output, "cv_results.csv"), fold_metrics)
+    from fissure_segmentation_tpu.train.cross_val import cross_val_training
+    cross_val_training(
+        ds, split, args.output, train_fn, test_fn,
+        test_only=args.test_only, train_only=args.train_only,
+        folds=None if args.fold is None else [args.fold],
+        results_suffix="_copd" if args.copd else "")  # reference train.py:563
 
 
 if __name__ == "__main__":
