@@ -90,3 +90,104 @@ def performance_time_plot(entries: list[dict], path: str,
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fig.savefig(path, dpi=150, bbox_inches="tight")
     plt.close(fig)
+
+
+def collect_experiment_grid(root: str, filename: str = "test_results.csv"):
+    """Aggregate a whole experiment grid (thesis/tables.py:93-231
+    `get_all_tables`/`seg_table` counterpart).
+
+    Layout: ``root/{experiment}/fold*/test/{filename}`` where experiment
+    names follow the reference's ``{kp_mode}_{feature}`` convention (e.g.
+    ``foerstner_image``, ``cnn_nofeat``). Returns
+    {experiment: {metric_row: [per-class..., mean]}} for every experiment
+    that has results.
+    """
+    out = {}
+    for exp_dir in sorted(glob(os.path.join(root, "*"))):
+        if not os.path.isdir(exp_dir):
+            continue
+        res = collect_cv_results(exp_dir, filename=filename)
+        if res:
+            out[os.path.basename(exp_dir)] = res
+    return out
+
+
+def seg_table(root: str, metrics=("Dice", "ASSD", "SDSD", "HD", "HD95"),
+              copd: bool = False, precision: int = 2) -> list[list[str]]:
+    """One mean±std row per experiment in the grid, mean-over-classes
+    columns per metric (thesis/tables.py:213-231)."""
+    filename = f"test_results{'_copd' if copd else ''}.csv"
+    grid = collect_experiment_grid(root, filename=filename)
+    header = ["experiment"] + list(metrics) + ["% missing"]
+    rows = [header]
+    for exp, res in grid.items():
+        row = [exp]
+        for m in metrics:
+            mu = res.get(f"Mean {m}")
+            sd = res.get(f"StdDev {m}")
+            if mu is None:
+                row.append("-")
+                continue
+            row.append(f"{np.nanmean(mu):.{precision}f} ± "
+                       f"{np.nanmean(sd if sd is not None else 0):.{precision}f}")
+        miss = res.get("proportion missing")
+        row.append(f"{100 * np.nanmean(miss):.0f}" if miss is not None else "-")
+        rows.append(row)
+    return rows
+
+
+def copd_comparison_table(root: str, metrics=("Dice", "ASSD"),
+                          precision: int = 2) -> list[list[str]]:
+    """In-distribution vs COPD columns + relative change per experiment
+    (thesis/tables.py:640-709 `copd_comparison_table`/`copd_change_table`)."""
+    indist = collect_experiment_grid(root, "test_results.csv")
+    copd = collect_experiment_grid(root, "test_results_copd.csv")
+    header = ["experiment"]
+    for m in metrics:
+        header += [f"{m}", f"{m} (COPD)", f"{m} change %"]
+    rows = [header]
+    for exp in indist:
+        if exp not in copd:
+            continue
+        row = [exp]
+        for m in metrics:
+            a = np.nanmean(indist[exp].get(f"Mean {m}", [np.nan]))
+            b = np.nanmean(copd[exp].get(f"Mean {m}", [np.nan]))
+            change = (b - a) / a * 100 if np.isfinite(a) and a else np.nan
+            row += [f"{a:.{precision}f}", f"{b:.{precision}f}",
+                    f"{change:+.1f}"]
+        rows.append(row)
+    return rows
+
+
+def comparative_bar_plot(root_per_model: dict, path: str,
+                         metric: str = "ASSD"):
+    """Grouped bar chart comparing models across experiments
+    (thesis/tables.py:233-377 `bar_plot`/`comparative_bar_plot`)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    grids = {mdl: collect_experiment_grid(root)
+             for mdl, root in root_per_model.items()}
+    exps = sorted({e for g in grids.values() for e in g})
+    if not exps:
+        raise ValueError("no experiment results found")
+    width = 0.8 / max(len(grids), 1)
+    fig, ax = plt.subplots(figsize=(1.2 + 1.1 * len(exps), 4))
+    xs = np.arange(len(exps))
+    for i, (mdl, g) in enumerate(grids.items()):
+        mus = [np.nanmean(g[e].get(f"Mean {metric}", [np.nan]))
+               if e in g else np.nan for e in exps]
+        sds = [np.nanmean(g[e].get(f"StdDev {metric}", [0.0]))
+               if e in g else 0.0 for e in exps]
+        ax.bar(xs + i * width, mus, width=width, yerr=sds, capsize=2,
+               label=mdl)
+    ax.set_xticks(xs + width * (len(grids) - 1) / 2)
+    ax.set_xticklabels(exps, rotation=30, ha="right")
+    ax.set_ylabel(metric)
+    ax.legend()
+    ax.grid(axis="y", alpha=0.3)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)

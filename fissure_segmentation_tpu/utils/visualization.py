@@ -113,3 +113,90 @@ def _finish(fig, path, show):
     if show:  # pragma: no cover - interactive
         plt.show()
     plt.close(fig)
+
+
+def visualize_with_overlay(image: np.ndarray, segmentation: np.ndarray,
+                           title: str = "", alpha: float = 0.5, ax=None,
+                           path: str | None = None, show: bool = False):
+    """2-D image + translucent label overlay (visualization.py:78-113)."""
+    plt = _plt()
+    fig = None
+    if ax is None:
+        fig, ax = plt.subplots()
+    ax.imshow(np.asarray(image), cmap="gray")
+    seg = np.asarray(segmentation)
+    overlay = np.zeros((*seg.shape, 4), np.float32)
+    from matplotlib.colors import to_rgba
+    for lbl in np.unique(seg):
+        if lbl == 0:
+            continue
+        overlay[seg == lbl] = to_rgba(color_for_label(lbl), alpha)
+    ax.imshow(overlay)
+    ax.set_title(title)
+    ax.axis("off")
+    if fig is not None:
+        _finish(fig, path, show)
+    return ax
+
+
+def plot_normals(coords: np.ndarray, normals: np.ndarray, ax=None,
+                 title: str = "", path: str | None = None,
+                 show: bool = False, scale: float = 0.1):
+    """Quiver plot of oriented point normals (visualization.py:257-283)."""
+    plt = _plt()
+    fig = None
+    if ax is None:
+        fig = plt.figure()
+        ax = fig.add_subplot(111, projection="3d")
+    c = np.asarray(coords)
+    n = np.asarray(normals)
+    ax.quiver(c[:, 0], c[:, 1], c[:, 2], n[:, 0], n[:, 1], n[:, 2],
+              length=scale, normalize=True, linewidth=0.5)
+    ax.set_title(title)
+    if fig is not None:
+        _finish(fig, path, show)
+    return ax
+
+
+def color_2d_points_bremm(points: np.ndarray) -> np.ndarray:
+    """2-D coordinates -> CIELab-plane RGB colors (visualization.py:303-321,
+    Bremm et al. 2011) — encodes 2-D correspondence positions as colors for
+    folding/correspondence visualizations. Pure-numpy Lab->sRGB (D65).
+
+    :param points: (N, 2)
+    :return: (N, 3) RGB in [0, 1]
+    """
+    pts = np.asarray(points, np.float64)
+    p_min, p_max = pts.min(0, keepdims=True), pts.max(0, keepdims=True)
+    ab = (pts - p_min) / np.maximum(p_max - p_min, 1e-12) * 200.0 - 100.0
+    lab = np.concatenate([np.full((len(pts), 1), 55.0), ab], axis=1)
+
+    # Lab -> XYZ (D65 white)
+    fy = (lab[:, 0] + 16.0) / 116.0
+    fx = fy + lab[:, 1] / 500.0
+    fz = fy - lab[:, 2] / 200.0
+
+    def _finv(t):
+        d = 6.0 / 29.0
+        return np.where(t > d, t ** 3, 3 * d * d * (t - 4.0 / 29.0))
+
+    white = np.array([0.95047, 1.0, 1.08883])
+    xyz = np.stack([_finv(fx), _finv(fy), _finv(fz)], -1) * white
+
+    # XYZ -> linear sRGB -> gamma
+    m = np.array([[3.2404542, -1.5371385, -0.4985314],
+                  [-0.9692660, 1.8760108, 0.0415560],
+                  [0.0556434, -0.2040259, 1.0572252]])
+    rgb = xyz @ m.T
+    rgb = np.clip(rgb, 0.0, 1.0)
+    return np.where(rgb <= 0.0031308, 12.92 * rgb,
+                    1.055 * rgb ** (1 / 2.4) - 0.055)
+
+
+def color_2d_mesh_bremm(vertices: np.ndarray,
+                        triangles: np.ndarray) -> np.ndarray:
+    """Per-triangle Bremm colors from 2-D vertex positions
+    (visualization.py:324-326)."""
+    verts = np.asarray(vertices)[:, :2]
+    centroids = verts[np.asarray(triangles)].mean(axis=1)
+    return color_2d_points_bremm(centroids)
