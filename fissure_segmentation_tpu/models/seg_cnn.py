@@ -162,10 +162,14 @@ def gaussian_importance_map(patch_size, sigma_scale=1 / 4.0) -> np.ndarray:
 
 def predict_all_patches(apply_fn, variables, img: jnp.ndarray,
                         num_classes: int, patch_size=(128, 128, 128),
-                        min_overlap: float = 0.5, use_gaussian: bool = True):
+                        min_overlap: float = 0.5, use_gaussian: bool = True,
+                        dtype=None):
     """Sliding-window inference with Gaussian blending (seg_cnn.py:22-62).
 
     :param img: (D, H, W) volume (single channel)
+    :param dtype: optional compute dtype for the CNN forward (e.g.
+        jnp.bfloat16 — halves the HBM traffic of the large intermediate
+        activation tensors; softmax + blending stay float32)
     :return: (D, H, W, num_classes) softmax output
     """
     dhw = img.shape
@@ -177,9 +181,17 @@ def predict_all_patches(apply_fn, variables, img: jnp.ndarray,
     pad = [max(0, p - s) for s, p in zip(dhw, patch_size)]
     img_p = jnp.pad(img, [(q // 2 + q % 2, q // 2) for q in pad], mode="edge")
 
+    if dtype is not None:
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype)
+            if getattr(a, "dtype", None) == jnp.float32 else a, variables)
+
     @jax.jit
     def run_patch(patch):
+        if dtype is not None:
+            patch = patch.astype(dtype)
         logits = apply_fn(variables, patch[None, ..., None], train=False)[0]
+        logits = logits.astype(jnp.float32)
         return jax.nn.softmax(logits, axis=-1) * gmap[..., None]
 
     out = jnp.zeros((*img_p.shape, num_classes))

@@ -11,7 +11,57 @@ over the last axis (MXU-friendly), instead of the reference's NCHW conv2d.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
+from jax import dtypes
+
+# limits under which the one-hot-matmul scatter backward fits VMEM
+# ((N, C) f32 accumulator + (tile, N) one-hot per grid step)
+_MM_MAX_ROWS = 8192
+_MM_MAX_CH = 512
+
+
+def _flat_gather(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    b, n, c = x.shape
+    k = idx.shape[-1]
+    offs = (jnp.arange(b, dtype=idx.dtype) * n)[:, None, None]
+    flat = (idx + offs).reshape(-1)
+    return x.reshape(b * n, c)[flat].reshape(b, n, k, c)
+
+
+@jax.custom_vjp
+def _gather_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    return _flat_gather(x, idx)
+
+
+def _gather_rows_fwd(x, idx):
+    return _flat_gather(x, idx), idx
+
+
+def _gather_rows_bwd(idx, ct):
+    # The transpose of the neighbor gather is a (B*N*k)-row scatter-add:
+    # XLA serializes it at ~19 GB/s and it dominates the DGCNN train step
+    # (~72 ms/step of a 196 ms step at B=32, N=2048, k=40). Reformulated as
+    # one-hot matmuls it rides the otherwise-idle MXU (ops/pallas/scatter.py).
+    # Off-TPU the plain XLA scatter is used (interpret-mode Pallas would only
+    # slow CPU tests); the kernel itself is parity-tested in interpret mode.
+    b, n, k, c = ct.shape
+    xdtype = ct.dtype
+    e = n * k
+    ct2 = ct.reshape(b, e, c)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and n <= _MM_MAX_ROWS and c <= _MM_MAX_CH:
+        from .pallas.scatter import scatter_add_mm
+        dx = scatter_add_mm(idx.reshape(b, e), ct2, n)
+    else:
+        dx = jnp.zeros((b, n, c), jnp.float32).at[
+            jnp.arange(b)[:, None], idx.reshape(b, e)].add(
+                ct2.astype(jnp.float32))
+    return dx.astype(xdtype), np.zeros(idx.shape, dtypes.float0)
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 def gather_neighbors(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -20,19 +70,21 @@ def gather_neighbors(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     For batched inputs the gather is issued as ONE flat row-gather into the
     (B*N, C) matrix: XLA lowers this to a single contiguous-row dynamic
     gather, ~2x faster on TPU than the equivalent batched take_along_axis
-    (which lowers to a general gather with batching dims).
+    (which lowers to a general gather with batching dims). The backward is a
+    custom VJP running the scatter-add as one-hot MXU matmuls (see
+    ops/pallas/scatter.py for the measured rationale).
 
     :param x: (..., N, C) per-point features
     :param idx: (..., N, k) int neighbor indices into the N axis
     :return: (..., N, k, C) neighbor features
     """
-    if x.ndim == 3:
-        b, n, c = x.shape
-        k = idx.shape[-1]
-        offs = (jnp.arange(b, dtype=idx.dtype) * n)[:, None, None]
-        flat = (idx + offs).reshape(-1)
-        return x.reshape(b * n, c)[flat].reshape(b, n, k, c)
-    return jnp.take_along_axis(x[..., None, :], idx[..., None], axis=-3)
+    if x.ndim == 2:
+        return jnp.take_along_axis(x[..., None, :], idx[..., None], axis=-3)
+    lead = x.shape[:-2]
+    n, c = x.shape[-2:]
+    k = idx.shape[-1]
+    out = _gather_rows(x.reshape(-1, n, c), idx.reshape(-1, n, k))
+    return out.reshape(*lead, n, k, c)
 
 
 def edge_features(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,114 @@
+"""Scatter-add as one-hot MXU matmuls — the EdgeConv gather backward.
+
+The training hot spot of the DGCNN family is NOT the matmuls: a per-step
+trace of the canonical config (batch 32, 2048 pts, k=40) shows XLA's
+scatter-add in the neighbor-gather backward costing ~36 ms per EdgeConv
+(~45 ms standalone for 2.6M x 64 updates, ~19 GB/s effective) while every
+MXU op is <4 ms. XLA's scatter serializes random 256-B row updates; sorting
+doesn't help (sorted segment-sum: 68 ms) because any random access into the
+671 MB edge tensor runs at ~18 GB/s.
+
+This kernel instead reformulates scatter-add as dense matmuls: for each
+tile of R edges, build the (R, N) one-hot target matrix in VMEM and
+accumulate ``one_hot^T @ g_tile`` into an (N, C) VMEM accumulator — all
+redundant FLOPs land on the otherwise-idle MXU. For B=32, E=81920, N=2048,
+C=64 that is 687 GFLOP in bf16 — a few ms at MXU rate vs 45 ms for the
+serialized scatter.
+
+Precision: one-hot entries are exact in bf16. bf16 payloads lose nothing
+vs an XLA bf16 scatter. float32 payloads are split into hi + lo bf16 halves
+(two matmuls, f32 accumulation) giving ~16 mantissa bits — relative error
+~1e-5 vs the exact f32 scatter (validated in tests); pass exact=True to
+run the one-hot matmul in f32 precision instead (3 passes, slower).
+
+Applicability: needs the (N, C) accumulator + (R, N) one-hot to fit VMEM —
+n_rows <= ~8192 and C <= ~512, which covers every point-cloud model here
+(clouds are <= 2048 points per forward; full-cloud ensembling batches
+subsets, not points).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .._config import interpret_mode
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(idx_ref, g_ref, out_ref, *, r: int, n: int, split: bool,
+            f32_dot: bool):
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    tgt = idx_ref[0]                                        # (R, 1) int32
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
+    if f32_dot:
+        onehot = (cols == tgt).astype(jnp.float32)
+        g = g_ref[0]
+        out_ref[0] += jax.lax.dot_general(
+            onehot, g, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        return
+    onehot = (cols == tgt).astype(jnp.bfloat16)
+    g = g_ref[0]
+    if split:                                               # f32 -> hi + lo
+        hi = g.astype(jnp.bfloat16)
+        lo = (g - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(onehot, hi, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(onehot, lo, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    else:
+        acc = jax.lax.dot_general(onehot, g.astype(jnp.bfloat16),
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    out_ref[0] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "tile_e", "exact"))
+def scatter_add_mm(idx: jnp.ndarray, g: jnp.ndarray, n_rows: int,
+                   tile_e: int = 256, exact: bool = False) -> jnp.ndarray:
+    """out[b, idx[b, e]] += g[b, e] on the MXU.
+
+    :param idx: (B, E) int32 target rows in [0, n_rows)
+    :param g: (B, E, C) payloads (float32 or bfloat16)
+    :param exact: run the one-hot matmul at f32 precision (exact, slower);
+        default splits f32 payloads into hi+lo bf16 (~1e-5 rel. error)
+    :return: (B, n_rows, C) float32
+    """
+    b, e = idx.shape
+    c = g.shape[-1]
+    if g.shape[:2] != (b, e):
+        raise ValueError(f"idx {idx.shape} vs g {g.shape}")
+    e_pad = _round_up(e, tile_e)
+    if e_pad != e:
+        # pad with out-of-range target -> contributes no one-hot column
+        idx = jnp.concatenate(
+            [idx, jnp.full((b, e_pad - e), n_rows, idx.dtype)], axis=1)
+        g = jnp.concatenate(
+            [g, jnp.zeros((b, e_pad - e, c), g.dtype)], axis=1)
+
+    grid = (b, e_pad // tile_e)
+    split = g.dtype == jnp.float32 and not exact
+    kernel = functools.partial(_kernel, r=tile_e, n=n_rows, split=split,
+                               f32_dot=exact)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_e, 1), lambda bi, ei: (bi, ei, 0)),
+            pl.BlockSpec((1, tile_e, c), lambda bi, ei: (bi, ei, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n_rows, c), lambda bi, ei: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_rows, c), jnp.float32),
+        interpret=interpret_mode(),
+    )(idx[..., None], g)

@@ -49,6 +49,7 @@ def test_rotate_around_center_preserves_centroid_for_pure_rotation():
     np.testing.assert_allclose(np.asarray(r_out), np.asarray(r_in), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_affine_experiment_learns_translation():
     """Few-epoch PointNet run must reduce translation error on the
     translation-only task (the reference uses this harness as its

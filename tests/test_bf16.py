@@ -36,6 +36,7 @@ def test_bf16_cls_backbone():
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow
 def test_bf16_gradients_finite():
     m16 = DGCNNSeg(k=8, in_features=3, num_classes=4, dynamic=False,
                    dtype=jnp.bfloat16)

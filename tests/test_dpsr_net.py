@@ -47,6 +47,7 @@ def test_per_class_empty_class_is_invalid(rng):
 
 
 @pytest.mark.parametrize("cls", [DPSRNet, DPSRNet2])
+@pytest.mark.slow
 def test_dpsr_net_train_step(cls, rng):
     """One fwd+bwd step through the full model: gradients exist and are
     finite for both variants."""

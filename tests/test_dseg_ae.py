@@ -6,6 +6,7 @@ from fissure_segmentation_tpu.models import DGCNNSeg
 from fissure_segmentation_tpu.models.dseg_ae import (RegularizedSegDGCNN,
                                                      random_extend_points)
 from fissure_segmentation_tpu.models.folding_net import DGCNNFoldingNet
+import pytest
 
 
 def test_random_extend_points(rng):
@@ -22,6 +23,7 @@ def test_random_extend_points(rng):
     assert np.abs(jit).max() < np.abs(np.asarray(pts[0, :20])).max() + 3.0
 
 
+@pytest.mark.slow
 def test_regularized_seg_dgcnn():
     seg = DGCNNSeg(k=8, in_features=3, num_classes=3, dynamic=False)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 3))

@@ -26,6 +26,7 @@ def test_train_pc_ae_entry(tmp_path):
     assert os.path.exists(tmp_path / "cv_results.csv")
 
 
+@pytest.mark.slow
 def test_train_dgcnn_ssm_entry(tmp_path):
     import train_dgcnn_ssm
     parser = train_dgcnn_ssm.get_dgcnn_ssm_train_parser()
@@ -41,6 +42,7 @@ def test_train_dgcnn_ssm_entry(tmp_path):
                           "corr_point_distance.csv")
 
 
+@pytest.mark.slow
 def test_train_seg_cnn_entry(tmp_path):
     import train_seg_cnn
     parser = train_seg_cnn.get_seg_cnn_train_parser()
@@ -104,6 +106,7 @@ def test_copd_transfer_validation_entry(tmp_path):
     assert any("COPD" in r[0] for r in rows[1:])
 
 
+@pytest.mark.slow
 def test_ae_reg_entry(tmp_path):
     """Train tiny seg + AE nets via their entry points, then compose."""
     import train_pc_ae

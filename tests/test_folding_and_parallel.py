@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fissure_segmentation_tpu.models.folding_net import (DGCNNFoldingNet,
                                                          get_plane_mesh)
@@ -72,6 +73,7 @@ def test_sharded_ensemble_matches_single_device(rng):
                                np.asarray(probs_single), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun_multichip():
     import __graft_entry__ as ge
     fn, args = ge.entry()

@@ -9,10 +9,13 @@ from fissure_segmentation_tpu.data import PointDataset, make_synthetic_dataset
 from fissure_segmentation_tpu.losses import get_loss_fn
 from fissure_segmentation_tpu.models import DGCNNSeg
 from fissure_segmentation_tpu.train import ModelTrainer, TrainConfig
+import pytest
+
 from fissure_segmentation_tpu.train.evaluation import \
     test_pipeline as run_test_pipeline
 
 
+@pytest.mark.slow
 def test_train_then_full_test_pipeline(tmp_path):
     cases = make_synthetic_dataset(8, n_points=1500, gt_surfaces=True)
     ds = PointDataset(cases, sample_points=512)

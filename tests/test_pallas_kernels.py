@@ -14,6 +14,7 @@ from fissure_segmentation_tpu.ops.knn import knn
 from fissure_segmentation_tpu.ops.pallas.knn import knn_pallas
 from fissure_segmentation_tpu.ops.fps import farthest_point_sampling
 from fissure_segmentation_tpu.ops.pallas.fps import fps_pallas
+from fissure_segmentation_tpu.ops.pallas.scatter import scatter_add_mm
 
 
 def _assert_knn_equiv(i_ref, d_ref, i_pal, d_pal):
@@ -78,6 +79,55 @@ def test_fps_pallas_2d_input(rng):
     f_ref = farthest_point_sampling(p, 5, use_pallas=False)
     f_pal = fps_pallas(p, 5)
     np.testing.assert_array_equal(np.asarray(f_ref), np.asarray(f_pal))
+
+
+def _scatter_ref(idx, g, n_rows):
+    b, e = idx.shape
+    return np.asarray(
+        jnp.zeros((b, n_rows, g.shape[-1]), jnp.float32)
+        .at[jnp.arange(b)[:, None], idx].add(g.astype(jnp.float32)))
+
+
+@pytest.mark.parametrize("dtype,exact,tol", [
+    (jnp.float32, False, 2e-5),   # hi+lo bf16 split: ~16 mantissa bits
+    (jnp.float32, True, 1e-6),    # f32 one-hot matmul: exact
+    (jnp.bfloat16, False, 1e-6),  # bf16 payload: accumulation exact in f32
+])
+def test_scatter_add_mm_matches_xla(rng, dtype, exact, tol):
+    b, e, n, c = 2, 512, 96, 16
+    idx = jnp.asarray(rng.integers(0, n, (b, e)), jnp.int32)
+    g = jnp.asarray(rng.standard_normal((b, e, c)), dtype)
+    out = scatter_add_mm(idx, g, n, tile_e=256, exact=exact)
+    ref = _scatter_ref(idx, g, n)
+    scale = np.abs(ref).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(out) / scale, ref / scale, atol=tol)
+
+
+def test_scatter_add_mm_padding(rng):
+    # E not a multiple of tile_e -> pad rows must contribute nothing
+    b, e, n, c = 1, 300, 50, 8
+    idx = jnp.asarray(rng.integers(0, n, (b, e)), jnp.int32)
+    g = jnp.asarray(rng.standard_normal((b, e, c)), jnp.float32)
+    out = scatter_add_mm(idx, g, n, tile_e=256, exact=True)
+    np.testing.assert_allclose(np.asarray(out), _scatter_ref(idx, g, n),
+                               atol=1e-6)
+
+
+def test_gather_neighbors_grad_matches_scatter(rng):
+    """The custom VJP of gather_neighbors must equal the XLA scatter-add
+    transpose (on CPU both take the same path; on TPU this checks the
+    one-hot-matmul backward end to end through jax.grad)."""
+    from fissure_segmentation_tpu.ops.edge import gather_neighbors
+    b, n, k, c = 2, 64, 5, 12
+    x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, n, (b, n, k)), jnp.int32)
+    w = jnp.asarray(rng.standard_normal((b, n, k, c)), jnp.float32)
+
+    g_custom = jax.grad(lambda v: jnp.sum(gather_neighbors(v, idx) * w))(x)
+    g_ref = jax.grad(lambda v: jnp.sum(
+        jnp.take_along_axis(v[:, None], idx[..., None], axis=2) * w))(x)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_dispatchers_auto_route(rng):

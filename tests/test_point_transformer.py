@@ -5,6 +5,7 @@ import numpy as np
 from fissure_segmentation_tpu.models.point_transformer import PointTransformerSeg
 from fissure_segmentation_tpu.ops.fps import farthest_point_sampling
 from fissure_segmentation_tpu.ops.pointops import interpolate, knn_query, query_and_group
+import pytest
 
 
 def test_fps_spreads_points(rng):
@@ -49,6 +50,7 @@ def test_interpolate_constant_field(rng):
     np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_point_transformer_seg_shapes():
     model = PointTransformerSeg(in_features=4, num_classes=4,
                                 blocks=(1, 1, 1, 1, 1))

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fissure_segmentation_tpu.models.seg_cnn import (MobileNetASPP,
                                                      gaussian_importance_map,
@@ -34,6 +35,7 @@ def test_gaussian_importance_map():
     assert (g > 0).all()
 
 
+@pytest.mark.slow
 def test_mobilenet_aspp_shapes():
     model = MobileNetASPP(num_classes=4)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 32, 1))
@@ -53,6 +55,7 @@ def test_mobilenet_aspp_shapes():
     assert np.isfinite(np.asarray(ravel_pytree(g)[0])).all()
 
 
+@pytest.mark.slow
 def test_patch_based_inference():
     model = MobileNetASPP(num_classes=3)
     x32 = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 32, 1))

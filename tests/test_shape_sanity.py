@@ -1,6 +1,7 @@
 """The reference's shape-model correctness probes (adam_shape_fitting.py,
 dgssm_rigid_toy_example.py) as tests."""
 import numpy as np
+import pytest
 
 
 def test_adam_recovers_ssm_weights():
@@ -16,6 +17,7 @@ def test_adam_recovers_eigenvectors():
     assert err < max(3 * optimal, 0.02), (err, optimal)
 
 
+@pytest.mark.slow
 def test_dgssm_rigid_recovery_improves():
     from shape_sanity_checks import dgssm_rigid_toy_example
     errs = dgssm_rigid_toy_example(epochs=10, steps=5, verbose=False)

@@ -80,6 +80,7 @@ def test_halo_reduce_is_exchange_transpose():
     assert abs(lhs - rhs) < 1e-3 * max(1.0, abs(lhs)), (lhs, rhs)
 
 
+@pytest.mark.slow
 def test_sharded_sliding_window_matches_unsharded():
     from fissure_segmentation_tpu.models import MobileNetASPP, predict_all_patches
     mesh = _mesh(4)

@@ -9,6 +9,7 @@ from fissure_segmentation_tpu.ops.normals import estimate_pointcloud_normals
 from fissure_segmentation_tpu.postprocess import (mesh_to_labelmap,
                                                   pointcloud_surface_fitting)
 from fissure_segmentation_tpu.utils.coords import kpts_to_world
+import pytest
 
 
 def test_normal_estimation_on_plane(rng):
@@ -24,6 +25,7 @@ def test_normal_estimation_on_plane(rng):
     assert (cos > 0.98).mean() > 0.95, cos.mean()
 
 
+@pytest.mark.slow
 def test_surface_fitting_on_synthetic_fissure():
     case = make_synthetic_case(3, n_points=4000, with_feature=False)
     shape = case["shape"]

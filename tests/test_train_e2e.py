@@ -9,8 +9,10 @@ from fissure_segmentation_tpu.losses import get_loss_fn
 from fissure_segmentation_tpu.metrics import batch_dice
 from fissure_segmentation_tpu.models import DGCNNSeg, ensemble_predict, load_model
 from fissure_segmentation_tpu.train import ModelTrainer, TrainConfig
+import pytest
 
 
+@pytest.mark.slow
 def test_train_and_infer_e2e(tmp_path):
     cases = make_synthetic_dataset(8, n_points=1200, with_feature=True)
     ds = PointDataset(cases, sample_points=512)

@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fissure_segmentation_tpu.data import (PointDataset,
                                            make_synthetic_dataset,
@@ -45,6 +46,7 @@ def test_epoch_in_loss_and_callback(tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "model.fst"))
 
 
+@pytest.mark.slow
 def test_checkpoint_resume(tmp_path):
     ds = _tiny_ds()
     model = DGCNNSeg(k=8, in_features=3, num_classes=4, dynamic=False)
@@ -115,6 +117,7 @@ def test_custom_batch_fn(tmp_path):
     assert last < first
 
 
+@pytest.mark.slow
 def test_image_trainer(tmp_path):
     from fissure_segmentation_tpu.data import ImageDataset
     from fissure_segmentation_tpu.models import MobileNetASPP
@@ -155,6 +158,7 @@ def test_profiling_utils():
     assert row["flops"] > 0 and row["params"] == 25
 
 
+@pytest.mark.slow
 def test_trainer_data_parallel_matches_single_device(tmp_path):
     """ModelTrainer(mesh=...) trains with the batch axis sharded over the
     device mesh; same seeds => near-identical history to the unsharded
