@@ -21,7 +21,36 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.edge import edge_mlp_pre_gather
+
 xavier_normal = nn.initializers.xavier_normal()
+
+
+class EdgeMLP(nn.Module):
+    """First shared-MLP layer of an EdgeConv, fused with the edge-feature
+    build via matmul-before-gather fission (ops/edge.py:edge_mlp_pre_gather).
+
+    Mathematically identical to
+    ``SharedMLP(f)(edge_features(x, idx))`` — same (2C, F) xavier-normal
+    kernel (rows [:C] act on ``x_j - x_i``, rows [C:] on ``x_i``), same
+    BatchNorm-over-edges + LeakyReLU — but the Dense runs on N rows instead
+    of N*k and the (B, N, k, 2C) edge tensor is never materialized.
+    """
+    features: int
+    negative_slope: float = 0.2
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, idx: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        c = x.shape[-1]
+        w = self.param("kernel", xavier_normal, (2 * c, self.features),
+                       jnp.float32)
+        dt = self.dtype or jnp.result_type(x)
+        z = edge_mlp_pre_gather(x.astype(dt), idx, w.astype(dt))
+        z = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype)(z)
+        return nn.leaky_relu(z, self.negative_slope)
 
 
 class SharedMLP(nn.Module):

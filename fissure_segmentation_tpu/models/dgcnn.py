@@ -23,8 +23,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops import edge_features, knn
-from .blocks import MLPStack, SharedMLP, xavier_normal
+from ..ops import knn
+from .blocks import EdgeMLP, MLPStack, SharedMLP, xavier_normal
 
 
 class EdgeConv(nn.Module):
@@ -41,10 +41,10 @@ class EdgeConv(nn.Module):
             idx = knn(graph_feats, self.k, self_loop=True)
         else:
             idx = fixed_knn_graph
-        e = edge_features(x, idx)  # (B, N, k, 2C)
         if self.dtype is not None:
-            e = e.astype(self.dtype)
-        for f in self.features:
+            x = x.astype(self.dtype)
+        e = EdgeMLP(self.features[0], dtype=self.dtype)(x, idx, train)
+        for f in self.features[1:]:
             e = SharedMLP(f, dtype=self.dtype)(e, train)
         return jnp.max(e, axis=-2)  # max over neighbors -> (B, N, C')
 

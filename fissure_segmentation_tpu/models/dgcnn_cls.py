@@ -13,8 +13,8 @@ from typing import Any, Mapping, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops import edge_features, knn
-from .blocks import SharedMLP, xavier_normal
+from ..ops import knn
+from .blocks import EdgeMLP, SharedMLP, xavier_normal
 
 
 class RegressionHead(nn.Module):
@@ -54,10 +54,9 @@ class DGCNNCls(nn.Module):
         h = x
         for out in (64, 64, 128, 256):
             idx = graph if graph is not None else knn(h, self.k, self_loop=True)
-            e = edge_features(h, idx)
             if self.dtype is not None:
-                e = e.astype(self.dtype)
-            e = SharedMLP(out, dtype=self.dtype)(e, train)
+                h = h.astype(self.dtype)
+            e = EdgeMLP(out, dtype=self.dtype)(h, idx, train)
             h = jnp.max(e, axis=-2)
             feats.append(h)
         h = jnp.concatenate(feats, axis=-1)

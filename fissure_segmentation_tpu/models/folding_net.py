@@ -20,8 +20,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import edge_features, knn
-from .blocks import MLPStack, SharedMLP, xavier_normal
+from ..ops import knn
+from .blocks import EdgeMLP, MLPStack, SharedMLP, xavier_normal
 
 SHAPE_TYPES = ["sphere", "gaussian", "plane"]
 
@@ -95,8 +95,7 @@ class DGCNNClsEncoder(nn.Module):
         h = x
         for out in (64, 64, 128, 256):
             idx = graph if graph is not None else knn(h, self.k, self_loop=True)
-            e = edge_features(h, idx)
-            e = SharedMLP(out)(e, train)
+            e = EdgeMLP(out)(h, idx, train)
             h = jnp.max(e, axis=-2)
             feats.append(h)
         h = jnp.concatenate(feats, axis=-1)          # (B, N, 512)

@@ -97,3 +97,33 @@ def edge_features(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     neigh = gather_neighbors(x, idx)
     center = jnp.broadcast_to(x[..., :, None, :], neigh.shape)
     return jnp.concatenate([neigh - center, center], axis=-1)
+
+
+def edge_mlp_pre_gather(x: jnp.ndarray, idx: jnp.ndarray,
+                        w: jnp.ndarray) -> jnp.ndarray:
+    """``edge_features(x, idx) @ w`` with the matmul commuted BEFORE the
+    gather (algebraic fission of EdgeConv's first shared-MLP layer).
+
+    With ``w = [w_d; w_c]`` (diff / center halves), the edge Dense
+
+        concat([x_j - x_i, x_i]) @ w  ==  (x @ w_d)[idx]  +  x @ (w_c - w_d)
+
+    so the matmul runs over N rows instead of N*k, and the (..., N, k, 2C)
+    edge tensor is never materialized — only the (..., N, k, F) gather of the
+    pre-projected features. At the DGCNN canonical config this cuts the
+    EdgeConv forward HBM traffic roughly in half and removes a k-times
+    redundant MXU pass (reference hot path: models/dgcnn.py:15-36 builds the
+    edge tensor explicitly and convolves it).
+
+    :param x: (..., N, C) per-point features
+    :param idx: (..., N, k) neighbor indices
+    :param w: (2C, F) edge-Dense kernel (rows [:C] multiply ``x_j - x_i``,
+        rows [C:] multiply ``x_i`` — same layout as the explicit path)
+    :return: (..., N, k, F) pre-activation edge responses
+    """
+    c = x.shape[-1]
+    if w.shape[0] != 2 * c:
+        raise ValueError(f"kernel rows {w.shape[0]} != 2*C ({2 * c})")
+    a = x @ w[:c]
+    center = x @ (w[c:] - w[:c])
+    return gather_neighbors(a, idx) + center[..., :, None, :]

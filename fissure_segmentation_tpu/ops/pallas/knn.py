@@ -108,8 +108,15 @@ def _knn_kernel(q_ref, kt_ref, idx_ref, dist_ref, *, kk: int, n: int,
 @functools.partial(jax.jit, static_argnames=("k", "self_loop", "return_dist",
                                              "tq", "tk"))
 def knn_pallas(x: jnp.ndarray, k: int, self_loop: bool = False,
-               return_dist: bool = False, tq: int = 256, tk: int = 256):
+               return_dist: bool = False, tq: int = 256, tk: int = 2048):
     """Fused kNN over a batch of point clouds.
+
+    Tile defaults from a v5e sweep at the canonical graph build (B=32,
+    N=2048, k=40): tk=2048 runs 24.3 ms vs 38.3 ms at tk=256 — larger key
+    tiles amortize the select loop's serial spin-up; tq beyond 256 gains
+    nothing. (XLA materialize+top_k takes 67 s on the same shapes — the
+    top_k lowering is pathological at N=2048 rows.) tk is clamped to the
+    padded N, so small clouds are unaffected.
 
     :param x: (B, N, C) float32 point clouds (channel-last)
     :return: (B, N, k) int32 neighbor indices [, (B, N, k) squared dists]

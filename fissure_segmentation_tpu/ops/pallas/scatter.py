@@ -76,13 +76,18 @@ def _kernel(idx_ref, g_ref, out_ref, *, r: int, n: int, split: bool,
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "tile_e", "exact"))
 def scatter_add_mm(idx: jnp.ndarray, g: jnp.ndarray, n_rows: int,
-                   tile_e: int = 256, exact: bool = False) -> jnp.ndarray:
+                   tile_e: int = 1024, exact: bool = False) -> jnp.ndarray:
     """out[b, idx[b, e]] += g[b, e] on the MXU.
 
     :param idx: (B, E) int32 target rows in [0, n_rows)
     :param g: (B, E, C) payloads (float32 or bfloat16)
     :param exact: run the one-hot matmul at f32 precision (exact, slower);
         default splits f32 payloads into hi+lo bf16 (~1e-5 rel. error)
+    :param tile_e: edge rows per grid step. Sweep on v5e (E=81920, N=2048,
+        C=64, B=32): 256 is pathological (grid overhead), 512/1024/2048 all
+        ~24-26 ms; 4096 exceeds the 16 MB scoped-VMEM limit. 1024 keeps
+        2x headroom under the limit. The ~24 ms plateau is the VPU-bound
+        one-hot build (B*E*N comparisons), not the MXU dots.
     :return: (B, n_rows, C) float32
     """
     b, e = idx.shape
