@@ -60,18 +60,18 @@ def _kernel(idx_ref, g_ref, out_ref, *, r: int, n: int, split: bool,
         return
     onehot = (cols == tgt).astype(jnp.bfloat16)
     g = g_ref[0]
-    if split:                                               # f32 -> hi + lo
+    if split:
+        # f32 -> hi + lo bf16 halves, CONCATENATED along channels so the
+        # split costs ONE full-width dot instead of two half-width ones
+        # (C=64 alone fills only half the 128-wide MXU); the caller sums
+        # out[..., :C] + out[..., C:] after the grid.
         hi = g.astype(jnp.bfloat16)
         lo = (g - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        acc = jax.lax.dot_general(onehot, hi, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        acc += jax.lax.dot_general(onehot, lo, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+        g = jnp.concatenate([hi, lo], axis=-1)
     else:
-        acc = jax.lax.dot_general(onehot, g.astype(jnp.bfloat16),
-                                  (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-    out_ref[0] += acc
+        g = g.astype(jnp.bfloat16)
+    out_ref[0] += jax.lax.dot_general(onehot, g, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "tile_e", "exact"))
@@ -104,16 +104,20 @@ def scatter_add_mm(idx: jnp.ndarray, g: jnp.ndarray, n_rows: int,
 
     grid = (b, e_pad // tile_e)
     split = g.dtype == jnp.float32 and not exact
+    c_out = 2 * c if split else c
     kernel = functools.partial(_kernel, r=tile_e, n=n_rows, split=split,
                                f32_dot=exact)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile_e, 1), lambda bi, ei: (bi, ei, 0)),
             pl.BlockSpec((1, tile_e, c), lambda bi, ei: (bi, ei, 0)),
         ],
-        out_specs=pl.BlockSpec((1, n_rows, c), lambda bi, ei: (bi, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, n_rows, c), jnp.float32),
+        out_specs=pl.BlockSpec((1, n_rows, c_out), lambda bi, ei: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_rows, c_out), jnp.float32),
         interpret=interpret_mode(),
     )(idx[..., None], g)
+    if split:
+        out = out[..., :c] + out[..., c:]
+    return out
