@@ -63,15 +63,20 @@ def _timeit(fn, repeats=3):
     return min(times)
 
 
-def bench_train_throughput():
+def bench_train_throughput(dtype=None, tag=""):
     """North-star: clouds/sec/chip, DGCNN seg fwd+bwd at the canonical
-    config (BASELINE.md:21 — batch 32, 2048 pts, k=40, static graph)."""
+    config (BASELINE.md:21 — batch 32, 2048 pts, k=40, static graph).
+
+    Called once at f32 and once at dtype=bfloat16 — the bf16 compute path
+    is the TPU analog of the reference's AMP autocast training
+    (model_trainer.py:92), params kept f32."""
     import optax
     from fissure_segmentation_tpu.losses.segmentation import nnu_loss
     from fissure_segmentation_tpu.models import DGCNNSeg
 
     B, N, REPS = 32, 2048, 8
-    model = DGCNNSeg(k=40, in_features=3, num_classes=4, dynamic=False)
+    model = DGCNNSeg(k=40, in_features=3, num_classes=4, dynamic=False,
+                     dtype=dtype)
     x = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3), jnp.float32)
     y = jax.random.randint(jax.random.PRNGKey(1), (B, N), 0, 4)
     variables = model.init(jax.random.PRNGKey(2), x, train=False)
@@ -104,8 +109,8 @@ def bench_train_throughput():
     float(chain(*args))  # compile + warm up
     dt = _timeit(lambda: float(chain(*args)))
     step_s = dt / REPS
-    return {"train_dgcnn_clouds_per_sec": round(B / step_s, 1),
-            "train_dgcnn_step_ms": round(step_s * 1e3, 2)}
+    return {f"train_dgcnn{tag}_clouds_per_sec": round(B / step_s, 1),
+            f"train_dgcnn{tag}_step_ms": round(step_s * 1e3, 2)}
 
 
 def main():
@@ -263,8 +268,9 @@ def main():
     stage_b_seconds = min(times)
     assert labelmap.any(), "pipeline produced an empty labelmap"
 
-    # ---- north-star training throughput ----
+    # ---- north-star training throughput (f32 + AMP-parity bf16) ----
     train_metrics = bench_train_throughput()
+    train_metrics.update(bench_train_throughput(jnp.bfloat16, "_bf16"))
 
     case_seconds = stage_a_seconds + fetch_seconds + stage_b_seconds
     hessian_case_seconds = (hessian_stage_seconds + fetch_seconds

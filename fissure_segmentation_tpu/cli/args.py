@@ -33,6 +33,13 @@ def add_training_parameters(parser):
                        help="the learn rate scheduler to use")
     group.add_argument("--all_in_gpu", action="store_true",
                        help="(parity flag; data always lives device-side here)")
+    group.add_argument("--amp", default=True,
+                       type=lambda s: s.lower() not in ("0", "false", "no"),
+                       help="mixed-precision compute (bfloat16 matmuls, f32 "
+                            "params) — the TPU analog of the reference's "
+                            "AMP autocast, which is on by default for seg "
+                            "losses (model_trainer.py:75,157). Pass "
+                            "--amp false for full f32.")
 
 
 def add_test_parameters(parser):

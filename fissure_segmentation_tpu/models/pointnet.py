@@ -37,11 +37,17 @@ class TNet(nn.Module):
 
 
 class PointNetSeg(nn.Module):
-    """PointNet segmentation (point_net.py:55-100). Returns (B, N, C) logits."""
+    """PointNet segmentation (point_net.py:55-100). Returns (B, N, C) logits.
+
+    `dtype` (e.g. jnp.bfloat16) sets the compute dtype of the shared MLPs
+    (the AMP-autocast analog, model_trainer.py:157); T-Nets and the logits
+    head stay f32.
+    """
     in_features: int
     num_classes: int
     spatial_transform: bool = False
     feature_transform: bool = False
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -49,14 +55,18 @@ class PointNetSeg(nn.Module):
             coords = TNet(3)(x[..., :3], train)
             x = jnp.concatenate([coords, x[..., 3:]], axis=-1)
 
-        x_local = MLPStack([64, 64], negative_slope=1e-2)(x, train)
+        dt = self.dtype
+        x_local = MLPStack([64, 64], negative_slope=1e-2, dtype=dt)(x, train)
         if self.feature_transform:
-            x_local = TNet(64)(x_local, train)
+            x_local = TNet(64)(x_local.astype(jnp.float32), train)
 
-        g = MLPStack([64, 128, 1024], negative_slope=1e-2)(x_local, train)
+        g = MLPStack([64, 128, 1024], negative_slope=1e-2, dtype=dt)(
+            x_local, train)
         g = jnp.max(g, axis=-2, keepdims=True)
         g = jnp.broadcast_to(g, (*x_local.shape[:-1], g.shape[-1]))
 
-        h = MLPStack([256, 128, 64, 64], negative_slope=1e-2)(
+        h = MLPStack([256, 128, 64, 64], negative_slope=1e-2, dtype=dt)(
             jnp.concatenate([x_local, g], axis=-1), train)
-        return nn.Dense(self.num_classes, kernel_init=xavier_normal)(h)
+        out = nn.Dense(self.num_classes, kernel_init=xavier_normal)(
+            h.astype(jnp.float32))
+        return out

@@ -53,6 +53,13 @@ def build_dataset(args) -> PointDataset:
 def build_model(args, ds: PointDataset):
     cls = get_point_seg_model_class(args.model)
     kwargs = dict(in_features=ds.n_features, num_classes=ds.num_classes)
+    if getattr(args, "amp", True) and args.model != "PointTransformer":
+        # bf16 compute path = the reference's AMP autocast, which is enabled
+        # for all point-seg losses (model_trainer.py:75,157). Excluded for
+        # PointTransformer: its q-k cancellation compounds bf16 rounding
+        # over ~50 layers (bf16 has 8 mantissa bits vs fp16-AMP's 11) —
+        # pass dtype explicitly to opt in.
+        kwargs.update(dtype=jnp.bfloat16)
     if args.model in ("DGCNN",):
         kwargs.update(k=args.k, spatial_transformer=args.transformer,
                       dynamic=not args.static,
