@@ -24,7 +24,10 @@ The "details" dict additionally reports (all on the same chip):
   * the pre-seg-CNN-keypoint pipeline (reference: 6.786 s/case,
     performance_time_plot.py:33): MobileNetASPP Gaussian-blended sliding
     window over 256^3 + foreground keypoints + softmax-patch features +
-    the same ensemble + stage B.
+    the same ensemble + stage B;
+  * the DGCNN+PC-AE pipeline (reference: 0.418 s/case,
+    performance_time_plot.py:34): same keypoints + ensemble, then
+    per-class masked FPS + folding-net mesh decode instead of PSR.
 
 Timing methodology: on remote-attached TPUs (axon tunnel) block_until_ready
 can be a no-op and fetching a full array measures the tunnel, not the chip;
@@ -49,6 +52,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 REFERENCE_CASE_SECONDS = 1.352          # performance_time_plot.py:31
 REFERENCE_HESSIAN_SECONDS = 36.81       # performance_time_plot.py:32
 REFERENCE_CNN_SECONDS = 6.786           # performance_time_plot.py:33
+REFERENCE_PCAE_SECONDS = 0.418          # performance_time_plot.py:34
 SHAPE = (256, 256, 256)
 MAX_KPTS = 20000
 
@@ -227,6 +231,49 @@ def main():
     cnn_tail_seconds = _timeit(
         lambda: float(cnn_tail_chain(jnp.float32(0), soft))) / 3
 
+    # ---- DGCNN+PC-AE pipeline (reference: 0.418 s/case,
+    # performance_time_plot.py:34): same Foerstner keypoints + ensemble,
+    # then per-class masked FPS -> folding-net mesh decode instead of the
+    # PSR surface fit — the whole case is ONE jit (mesh verts come out
+    # directly; no labelmap stage in the reference's PC-AE runtime). ----
+    from fissure_segmentation_tpu.models.folding_net import DGCNNFoldingNet
+    from fissure_segmentation_tpu.ops.fps import farthest_point_sampling
+
+    ae = DGCNNFoldingNet(k=20, n_embedding=512, shape_type="plane",
+                         n_input_points=1024, decode_mesh=True)
+    ae_vars = ae.init(jax.random.PRNGKey(7),
+                      jnp.zeros((1, 1024, 3), jnp.float32), train=False)
+
+    def one_case_pcae(img, rng):
+        kpts, valid, pred = one_case(img, rng)
+        world = kpts[:, ::-1].astype(jnp.float32)
+        coords = kpts_to_grid(world, SHAPE)[None]
+        verts_all = []
+        for c in (1, 2, 3):
+            m = (valid & (pred == c))[None]
+            idx = farthest_point_sampling(coords, 1024, mask=m)
+            sub = jnp.take_along_axis(coords, idx[..., None], axis=1)
+            verts, _ = ae.apply(ae_vars, sub, train=False)
+            verts_all.append(verts)
+        return jnp.concatenate(verts_all, axis=1)
+
+    @jax.jit
+    def pcae_chain(c0):
+        def body(c, i):
+            verts = one_case_pcae(
+                img * (1.0 + 1e-12 * c),
+                jax.random.fold_in(jax.random.PRNGKey(4), i))
+            return jnp.sum(verts).astype(jnp.float32) * 1e-20, None
+
+        c, _ = jax.lax.scan(body, c0, jnp.arange(3), length=3)
+        return c
+
+    float(pcae_chain(jnp.float32(0)))  # compile + warm up
+    pcae_stage_seconds = _timeit(
+        lambda: float(pcae_chain(jnp.float32(0)))) / 3
+    # mesh fetch: 3x (1, 2025, 3) verts ~73 kB, counted via the scalar chain
+    pcae_case_seconds = pcae_stage_seconds
+
     # ---- stage B: per-fissure mesh fit + labelmap (host wall clock) ----
     # All 3 classes fit in ONE vmapped device dispatch
     # (fit_fissure_surfaces); untrained bench weights may starve a class,
@@ -292,6 +339,9 @@ def main():
             "cnn_pipeline_s_per_case": round(cnn_case_seconds, 4),
             "cnn_vs_baseline": round(
                 REFERENCE_CNN_SECONDS / cnn_case_seconds, 2),
+            "pcae_pipeline_s_per_case": round(pcae_case_seconds, 4),
+            "pcae_vs_baseline": round(
+                REFERENCE_PCAE_SECONDS / pcae_case_seconds, 2),
             "stage_seconds": {
                 "foerstner_kpts_plus_ensemble": round(stage_a_seconds, 4),
                 "hessian_kpts_plus_ensemble": round(hessian_stage_seconds, 4),

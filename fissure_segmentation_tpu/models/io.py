@@ -17,6 +17,7 @@ from typing import Any, Type
 
 import flax.linen as nn
 import flax.serialization
+import numpy as np
 
 _SEP = b"\x00fst\x00"
 MODEL_REGISTRY: dict[str, Type[nn.Module]] = {}
@@ -36,6 +37,9 @@ def _module_config(module: nn.Module) -> dict[str, Any]:
         v = getattr(module, f.name)
         if isinstance(v, tuple):
             v = list(v)
+        elif isinstance(v, (type, np.dtype)):
+            # compute-dtype fields (e.g. dtype=jnp.bfloat16 from --amp)
+            v = {"__dtype__": np.dtype(v).name}
         cfg[f.name] = v
     return cfg
 
@@ -64,7 +68,9 @@ def load_model(path: str):
         raise KeyError(
             f"model class {header['model_class']!r} is not registered; "
             f"known: {sorted(MODEL_REGISTRY)}")
-    config = {k: (tuple(v) if isinstance(v, list) else v)
+    config = {k: (tuple(v) if isinstance(v, list)
+                  else np.dtype(v["__dtype__"])
+                  if isinstance(v, dict) and "__dtype__" in v else v)
               for k, v in header["config"].items()}
     module = cls(**config)
     # Build a template pytree so msgpack restores correct dtypes/shapes.

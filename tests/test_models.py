@@ -71,6 +71,22 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+def test_save_load_roundtrip_amp_dtype(tmp_path):
+    """A bf16 compute-dtype field (from --amp) must survive the JSON header
+    (encoded as {"__dtype__": "bfloat16"}, not a raw type object)."""
+    import jax.numpy as jnp
+    model = DGCNNSeg(k=8, in_features=3, num_classes=4, dynamic=False,
+                     dtype=jnp.bfloat16)
+    x, variables = _init(model)
+    path = str(tmp_path / "model_amp.fst")
+    save_model(model, variables, path)
+    model2, variables2 = load_model(path)
+    assert np.dtype(model2.dtype) == np.dtype(jnp.bfloat16)
+    out = model2.apply(variables2, x, train=False)
+    ref = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
 def test_ensemble_predict_covers_all_points():
     model = PointNetSeg(in_features=3, num_classes=3)
     x, variables = _init(model, n=32, b=1)
