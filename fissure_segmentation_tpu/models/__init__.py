@@ -7,7 +7,8 @@ from .access_models import get_point_seg_model_class  # noqa: F401
 from .folding_net import DGCNNFoldingNet  # noqa: F401
 from .dg_ssm import DGSSM, dgssm_ensemble_predict  # noqa: F401
 from .dpsr_net import DPSRNet, DPSRNet2  # noqa: F401
-from .seg_cnn import MobileNetASPP, predict_all_patches  # noqa: F401
+from .seg_cnn import (MobileNetASPP, predict_all_patches,  # noqa: F401
+                      predict_full_volume)
 from .lraspp_3d import LRASPPMobileNetV33D  # noqa: F401
 from .dseg_ae import RegularizedSegDGCNN  # noqa: F401
 from .affine import (AffineDGCNN, AffineOpenDGCNN, AffinePointNet,  # noqa: F401

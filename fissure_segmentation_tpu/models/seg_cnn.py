@@ -10,6 +10,7 @@ checkpoints (seg_cnn.py:122-126).
 """
 from __future__ import annotations
 
+import functools
 import math
 from functools import partial
 from typing import Sequence
@@ -181,18 +182,7 @@ def predict_all_patches(apply_fn, variables, img: jnp.ndarray,
     pad = [max(0, p - s) for s, p in zip(dhw, patch_size)]
     img_p = jnp.pad(img, [(q // 2 + q % 2, q // 2) for q in pad], mode="edge")
 
-    if dtype is not None:
-        variables = jax.tree_util.tree_map(
-            lambda a: a.astype(dtype)
-            if getattr(a, "dtype", None) == jnp.float32 else a, variables)
-
-    @jax.jit
-    def run_patch(patch):
-        if dtype is not None:
-            patch = patch.astype(dtype)
-        logits = apply_fn(variables, patch[None, ..., None], train=False)[0]
-        logits = logits.astype(jnp.float32)
-        return jax.nn.softmax(logits, axis=-1) * gmap[..., None]
+    run_patch = _softmax_fwd_fn(apply_fn, dtype)
 
     out = jnp.zeros((*img_p.shape, num_classes))
     norm = jnp.zeros((*img_p.shape, 1))
@@ -203,9 +193,60 @@ def predict_all_patches(apply_fn, variables, img: jnp.ndarray,
                       slice(sy, sy + patch_size[1]),
                       slice(sx, sx + patch_size[2]))
                 patch = img_p[sl]
-                out = out.at[sl].add(run_patch(patch))
+                out = out.at[sl].add(run_patch(variables, patch)
+                                     * gmap[..., None])
                 norm = norm.at[sl].add(gmap[..., None])
     out = out / norm
     lo = [q // 2 + q % 2 for q in pad]
     out = out[lo[0]:lo[0] + dhw[0], lo[1]:lo[1] + dhw[1], lo[2]:lo[2] + dhw[2]]
     return jax.nn.softmax(out, axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _softmax_fwd_fn(apply_fn, dtype):
+    """Jitted (variables, (D,H,W) vol) -> (D,H,W,C) softmax forward.
+
+    Cached per (apply_fn, dtype) so repeated per-case/per-patch calls reuse
+    the compiled executable instead of re-tracing a fresh closure.  The
+    optional bf16 cast of the float32 params happens inside the jit (fused,
+    no extra HBM round trip).
+    """
+    @jax.jit
+    def run(variables, vol):
+        if dtype is not None:
+            variables = jax.tree_util.tree_map(
+                lambda a: a.astype(dtype)
+                if getattr(a, "dtype", None) == jnp.float32 else a, variables)
+            vol = vol.astype(dtype)
+        logits = apply_fn(variables, vol[None, ..., None], train=False)[0]
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    return run
+
+
+def predict_full_volume(apply_fn, variables, img: jnp.ndarray,
+                        dtype=None) -> jnp.ndarray:
+    """Whole-volume CNN inference in ONE forward pass.
+
+    TPU-native alternative to the reference's patch sliding window
+    (seg_cnn.py:22-62): the CNN is fully convolutional and a TPU chip's HBM
+    fits the full 256^3 activation footprint in bf16, so the ~3.4x redundant
+    compute of the 50%-overlap 128^3 tiling (27 patches per 256^3 CT) and
+    the Gaussian blending disappear. Outputs differ from patch inference
+    only in (a) no patch-border effects (strictly better) and (b) the ASPP
+    global-pooling branch pools over the whole volume instead of per patch.
+    Use `predict_all_patches` for bit-parity with the reference protocol or
+    when the volume exceeds memory (or shard it: parallel/spatial.py).
+
+    :param img: (D, H, W) volume (single channel)
+    :return: (D, H, W, num_classes) softmax output
+    """
+    dhw = img.shape
+    mult = 4  # backbone stride: two /2 stages
+    pad = [(-s) % mult for s in dhw]
+    img_p = jnp.pad(img, [(q // 2 + q % 2, q // 2) for q in pad], mode="edge")
+
+    out = _softmax_fwd_fn(apply_fn, dtype)(variables, img_p)
+    lo = [q // 2 + q % 2 for q in pad]
+    return out[lo[0]:lo[0] + dhw[0], lo[1]:lo[1] + dhw[1],
+               lo[2]:lo[2] + dhw[2]]

@@ -6,7 +6,8 @@ import pytest
 from fissure_segmentation_tpu.models.seg_cnn import (MobileNetASPP,
                                                      gaussian_importance_map,
                                                      get_patch_starts,
-                                                     predict_all_patches)
+                                                     predict_all_patches,
+                                                     predict_full_volume)
 
 
 def test_patch_starts_invariants():
@@ -65,3 +66,31 @@ def test_patch_based_inference():
                               patch_size=(32, 32, 32), min_overlap=0.25)
     assert out.shape == (40, 36, 48, 3)
     np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_full_volume_inference():
+    """predict_full_volume == softmax(direct forward) incl. the pad/crop
+    plumbing for dims that aren't multiples of the backbone stride."""
+    model = MobileNetASPP(num_classes=3)
+    x32 = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 32, 1))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, x32, train=False)
+
+    # non-multiple-of-4 dims exercise the edge padding + crop
+    img = jax.random.normal(jax.random.PRNGKey(2), (30, 33, 35))
+    out = predict_full_volume(model.apply, variables, img)
+    assert out.shape == (30, 33, 35, 3)
+    np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, atol=1e-5)
+
+    # stride-aligned volume: must equal the direct forward exactly
+    img2 = jax.random.normal(jax.random.PRNGKey(3), (32, 32, 32))
+    out2 = predict_full_volume(model.apply, variables, img2)
+    ref = jax.nn.softmax(
+        model.apply(variables, img2[None, ..., None], train=False)[0], -1)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=1e-6)
+
+    # single-patch sliding window covers the same field of view -> the two
+    # inference protocols must agree on the argmax everywhere
+    sw = predict_all_patches(model.apply, variables, img2, 3,
+                             patch_size=(32, 32, 32))
+    assert (np.asarray(out2.argmax(-1)) == np.asarray(sw.argmax(-1))).all()
