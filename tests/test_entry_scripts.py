@@ -133,3 +133,42 @@ def test_ae_reg_entry(tmp_path):
                         "--seg_dir", seg_dir, "--ae_dir", ae_dir])
     ae_reg.run(a3)
     assert os.path.exists(tmp_path / "reg" / "fold0" / "ae_reg_results.csv")
+
+
+def test_register_images_entry(tmp_path, monkeypatch):
+    """register_images.py end-to-end on tiny synthetic NIfTI pairs."""
+    import jax.numpy as jnp
+    from fissure_segmentation_tpu.utils.nifti import load_nifti, save_nifti
+    from fissure_segmentation_tpu.shape_model.adam_registration import (
+        _identity_grid_xyz, warp_volume)
+    import register_images as ri
+
+    shape = (16, 16, 16)
+    rng = np.random.RandomState(0)
+    mov = rng.randn(4, 4, 4)
+    import jax
+    mov = np.asarray(jax.image.resize(jnp.asarray(mov), shape, "trilinear"))
+    disp = 0.05 * np.asarray(jnp.sin(_identity_grid_xyz(shape) * 3))
+    fix = np.asarray(warp_volume(jnp.asarray(mov), jnp.asarray(disp)))
+    mask = np.ones(shape, np.uint8)
+
+    for name, arr in [("fix_img.nii.gz", fix), ("mov_img.nii.gz", mov),
+                      ("fix_mask.nii.gz", mask), ("mov_mask.nii.gz", mask)]:
+        save_nifti(str(tmp_path / name), arr)
+    np.savez(tmp_path / "lms.npz",
+             lm_fix=rng.uniform(-0.5, 0.5, (10, 3)).astype(np.float32),
+             lm_mov=rng.uniform(-0.5, 0.5, (10, 3)).astype(np.float32))
+
+    monkeypatch.setattr(sys, "argv", [
+        "register_images.py", "-F", str(tmp_path / "fix_img.nii.gz"),
+        "-M", str(tmp_path / "mov_img.nii.gz"),
+        "-f", str(tmp_path / "fix_mask.nii.gz"),
+        "-m", str(tmp_path / "mov_mask.nii.gz"),
+        "-w", str(tmp_path / "warped.nii.gz"),
+        "-d", str(tmp_path / "disp.npz"),
+        "-l", str(tmp_path / "lms.npz"), "--iters", "5"])
+    ri.main()
+    assert os.path.exists(tmp_path / "warped.nii.gz")
+    d = np.load(tmp_path / "disp.npz")
+    assert d["disp"].shape == (*shape, 3)
+    assert load_nifti(str(tmp_path / "warped.nii.gz")).array.shape == shape
