@@ -3,6 +3,9 @@ from .lssm import fit_lssm  # noqa: F401
 from .registration import TPS, thin_plate_dense, register_cpd_rigid, register_cpd_deformable  # noqa: F401
 from .correspondences import (generate_corresponding_points,  # noqa: F401
                               save_corresponding_points, load_corresponding_points)
+from .qualitative import (visualize_reconstruction,  # noqa: F401
+                          visualize_ssm_samples, latent_interpolation,
+                          sample_shapes_to_npz)
 from .adam_registration import (register_images,  # noqa: F401
                                 dense_adam_registration, registration_features,
                                 upsample_displacement, warp_volume,

@@ -49,11 +49,14 @@ def plot_slice(img: np.ndarray, labels: np.ndarray | None = None,
 
 
 def point_cloud_on_axis(ax, pc: np.ndarray, c=None, label: str = "",
-                        alpha: float = 1.0, s: float = 1.0, cmap=None):
+                        alpha: float = 1.0, s: float = 1.0, cmap=None,
+                        title: str = ""):
     """(visualization.py point_cloud_on_axis) pc: (N, 3) xyz."""
     pc = np.asarray(pc)
     ax.scatter(pc[:, 0], pc[:, 1], pc[:, 2], c=c, label=label, alpha=alpha,
                s=s, cmap=cmap)
+    if title:
+        ax.set_title(title)
     if label:
         ax.legend()
 
