@@ -84,6 +84,82 @@ def generate_lung_mask(lobes: jnp.ndarray) -> jnp.ndarray:
     return lobes > 0
 
 
+def check_left_right_lung_plausible(component_sizes,
+                                    max_volume_ratio: float = 10.0) -> bool:
+    """At least two components and the biggest at most `max_volume_ratio`
+    times the second (process_lung_mask.py:11-28)."""
+    sizes = sorted(component_sizes, reverse=True)
+    if len(sizes) < 2:
+        return False
+    return sizes[0] / sizes[1] <= max_volume_ratio
+
+
+def binary_lung_mask_to_left_right(lung_mask: np.ndarray, left_label: int = 1,
+                                   right_label: int = 2,
+                                   max_volume_ratio: float = 10.0,
+                                   max_opening_radius: int = 13) -> np.ndarray:
+    """Binary lung mask -> left(1)/right(2) mask, the producer of the
+    `_masklr_` files ImageDataset consumes.
+
+    Reference pipeline (process_lung_mask.py:31-93): connected components;
+    if the two biggest are implausible (merged lungs), binary-open with
+    growing radius (3, 5, 7, ...) until they detach; keep the 2 biggest;
+    the component with the *smaller* centroid x is the right lung; restore
+    voxels lost to the opening by nearest-label (Euclidean distance
+    transform) inside the original mask.
+
+    Deviations: the native 26-CC labeler replaces sitk; the opening-radius
+    loop is capped at `max_opening_radius` (the reference recurses forever
+    on a single-lung scan) — past the cap the biggest components are used
+    as-is.
+
+    :param lung_mask: (D, H, W) zyx binary mask
+    :return: (D, H, W) int32 labelmap {0, left_label, right_label}
+    """
+    from scipy.ndimage import distance_transform_edt
+
+    from ..native import cc_label_3d
+
+    mask0 = np.asarray(lung_mask) > 0
+    mask = mask0
+    opened = False
+    radius = 3
+    while True:
+        comp, n = cc_label_3d(mask)
+        sizes = np.bincount(comp.ravel(), minlength=n + 1)[1:]
+        if check_left_right_lung_plausible(sizes, max_volume_ratio) \
+                or radius > max_opening_radius or n == 0:
+            break
+        mask = np.asarray(binary_morphology(jnp.asarray(mask), radius,
+                                            "open"))
+        radius += 2
+        opened = True
+
+    if n == 0:
+        return np.zeros(mask0.shape, np.int32)
+    biggest = np.argsort(sizes)[::-1][:2] + 1  # component ids of 2 largest
+    out = np.zeros(mask0.shape, np.int32)
+    # smaller centroid x is the right lung (process_lung_mask.py:71-77)
+    xs = [np.nonzero(comp == b)[2].mean() if (comp == b).any() else np.inf
+          for b in biggest]
+    if len(biggest) == 1 or not np.isfinite(xs[-1]):
+        out[comp == biggest[0]] = left_label
+        return out
+    right_comp, left_comp = biggest[np.argsort(xs)]
+    out[comp == left_comp] = left_label
+    out[comp == right_comp] = right_label
+
+    if opened:
+        # restore opened-away voxels to the nearest lung half
+        # (process_lung_mask.py:81-91)
+        dist = np.stack([distance_transform_edt(out != lbl)
+                         for lbl in (left_label, right_label)])
+        nearest = np.where(np.argmin(dist, axis=0) == 0, left_label,
+                           right_label)
+        out = np.where(mask0, np.where(out != 0, out, nearest), 0)
+    return out.astype(np.int32)
+
+
 def find_non_zero_range(mask: np.ndarray, axis: int = 0, open_radius: int = 2) -> tuple[int, int]:
     """[lo, hi) index range along `axis` containing non-zero voxels, after a
     small binary opening to ignore mis-segmentation specks

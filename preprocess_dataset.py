@@ -23,14 +23,20 @@ import numpy as np
 
 def process_case(img, lobes, spacing, out_dir: str, case: str,
                  sequence: str = "fixed", kp_mode: str = "foerstner"):
+    from fissure_segmentation_tpu.preprocess.labels import \
+        binary_lung_mask_to_left_right
     from fissure_segmentation_tpu.preprocess.pipeline import (
         label_pipeline_case, preprocess_totalsegmentator_case)
 
     pre = preprocess_totalsegmentator_case(img, lobes)
+    # left/right lung-half mask (the reference's separate process_lung_mask
+    # step writing `_masklr_` files) — needed for the 'binary' label space
+    mask_lr = binary_lung_mask_to_left_right(np.asarray(pre["lung_mask"]))
     np.savez_compressed(
         os.path.join(out_dir, f"{case}_img_{sequence}.npz"),
         image=pre["image"], lobes=pre["lobes"], fissures=pre["fissures"],
-        lung_mask=pre["lung_mask"], spacing=np.asarray(spacing, np.float32))
+        lung_mask=pre["lung_mask"], mask_lr=mask_lr,
+        spacing=np.asarray(spacing, np.float32))
     out = label_pipeline_case(pre["image"], pre["fissures"],
                               pre["lung_mask"], out_dir, case, sequence,
                               kp_mode=kp_mode, spacing=spacing)
