@@ -47,6 +47,53 @@ def plot_keypoints_on_slice(ax, img: np.ndarray, kpts_zyx: np.ndarray,
     ax.axis("off")
 
 
+def cosine_lr_trace(epochs: int, lr: float, t_max: int | None = None,
+                    warm_restarts: bool = False,
+                    eta_min_frac: float = 0.05) -> np.ndarray:
+    """Per-epoch learning-rate trace of the cosine schedules, closed form.
+
+    Counterpart of the reference's thesis/cosine_annealing.py:7-26 figure
+    code (which steps torch CosineAnnealingLR / ...WarmRestarts): plain
+    cosine matches train/trainer.py:_cosine_lr; warm restarts restart the
+    cosine every `t_max` epochs.
+    """
+    eta_min = lr * eta_min_frac
+    e = np.arange(1, epochs + 1, dtype=np.float64)
+    if warm_restarts:
+        t_max = t_max or (epochs // 4 + 1)
+        e = e % t_max
+    else:
+        t_max = epochs
+    return eta_min + (lr - eta_min) * (1 + np.cos(np.pi * e / t_max)) / 2
+
+
+def plot_lr_schedules(out_dir: str, epochs: int = 1000, lr: float = 1e-3,
+                      t_max: int | None = None) -> None:
+    """The thesis cosine-annealing figures (cosine_annealing.py __main__):
+    plain / warm-restarts / both-in-one."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    traces = {"cosine_annealing": [(False, "cosine annealing")],
+              "cosine_annealing_warm_restarts": [(True, "with warm restarts")],
+              "cosine_annealing_both": [(False, "cosine annealing"),
+                                        (True, "with warm restarts")]}
+    for name, spec in traces.items():
+        fig = plt.figure(figsize=(5, 3.5))
+        for wr, label in spec:
+            plt.plot(cosine_lr_trace(epochs, lr, t_max, warm_restarts=wr),
+                     label=label)
+        if len(spec) > 1:
+            plt.legend(loc="upper right")
+        plt.xlabel("epoch")
+        plt.ylabel("learning rate")
+        fig.savefig(os.path.join(out_dir, f"{name}.png"), dpi=150,
+                    bbox_inches="tight")
+        plt.close(fig)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="qualitative figures")
     parser.add_argument("--output", default="results/plots/qualitative")
@@ -84,6 +131,8 @@ def main(argv=None):
     fig.savefig(os.path.join(args.output, "keypoints.png"), dpi=150,
                 bbox_inches="tight")
     plt.close(fig)
+
+    plot_lr_schedules(args.output)
     print(f"wrote figures to {args.output}")
 
 

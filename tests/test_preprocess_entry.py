@@ -27,3 +27,30 @@ def test_process_case_writes_mask_lr(tmp_path):
         assert ((lr > 0) == lung).all()
         if (lr == 1).any() and (lr == 2).any():
             assert np.nonzero(lr == 2)[2].mean() < np.nonzero(lr == 1)[2].mean()
+
+
+def test_qualitative_plots_entry(tmp_path):
+    """qualitative_plots.py main: overlay / keypoint / LR-schedule figures."""
+    import qualitative_plots as qp
+
+    qp.main(["--output", str(tmp_path)])
+    for f in ["fissure_overlay.png", "keypoints.png", "cosine_annealing.png",
+              "cosine_annealing_warm_restarts.png", "cosine_annealing_both.png"]:
+        assert (tmp_path / f).stat().st_size > 0
+
+
+def test_cosine_lr_trace_matches_trainer():
+    """Plain-cosine trace == the trainer's closed-form _cosine_lr."""
+    import math
+
+    from qualitative_plots import cosine_lr_trace
+
+    epochs, lr = 100, 1e-3
+    tr = cosine_lr_trace(epochs, lr)
+    min_lr = lr * 0.05
+    ref = [min_lr + (lr - min_lr) * (1 + math.cos(math.pi * e / epochs)) / 2
+           for e in range(1, epochs + 1)]
+    np.testing.assert_allclose(tr, ref, rtol=1e-12)
+    # warm restarts actually restart
+    wr = cosine_lr_trace(epochs, lr, t_max=25, warm_restarts=True)
+    assert wr[24] > wr[23]
