@@ -144,18 +144,20 @@ def binary_lung_mask_to_left_right(lung_mask: np.ndarray, left_label: int = 1,
           for b in biggest]
     if len(biggest) == 1 or not np.isfinite(xs[-1]):
         out[comp == biggest[0]] = left_label
-        return out
-    right_comp, left_comp = biggest[np.argsort(xs)]
-    out[comp == left_comp] = left_label
-    out[comp == right_comp] = right_label
+        labels_present = (left_label,)
+    else:
+        right_comp, left_comp = biggest[np.argsort(xs)]
+        out[comp == left_comp] = left_label
+        out[comp == right_comp] = right_label
+        labels_present = (left_label, right_label)
 
     if opened:
-        # restore opened-away voxels to the nearest lung half
-        # (process_lung_mask.py:81-91)
+        # restore opened-away voxels to the nearest present lung half
+        # (process_lung_mask.py:81-91) — also in the single-label case,
+        # otherwise voxels eroded by the opening stay unlabeled
         dist = np.stack([distance_transform_edt(out != lbl)
-                         for lbl in (left_label, right_label)])
-        nearest = np.where(np.argmin(dist, axis=0) == 0, left_label,
-                           right_label)
+                         for lbl in labels_present])
+        nearest = np.asarray(labels_present)[np.argmin(dist, axis=0)]
         out = np.where(mask0, np.where(out != 0, out, nearest), 0)
     return out.astype(np.int32)
 

@@ -5,7 +5,7 @@ from .correspondences import (generate_corresponding_points,  # noqa: F401
                               save_corresponding_points, load_corresponding_points)
 from .qualitative import (visualize_reconstruction,  # noqa: F401
                           visualize_ssm_samples, latent_interpolation,
-                          sample_shapes_to_npz)
+                          sample_shapes_to_npz, load_shape_npz)
 from .adam_registration import (register_images,  # noqa: F401
                                 dense_adam_registration, registration_features,
                                 upsample_displacement, warp_volume,

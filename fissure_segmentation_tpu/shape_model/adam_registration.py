@@ -65,15 +65,20 @@ def downsample_mean(vol: jnp.ndarray, factor: int) -> jnp.ndarray:
 
 
 def registration_features(img_hu: jnp.ndarray, lung_mask=None, fissures=None,
-                          lobes=None, n_labels: int = 9,
+                          lobes=None, n_labels: int = 16,
                           grid_sp: int = GRID_SP) -> jnp.ndarray:
-    """Assemble the (C, D/g, H/g, W/g) feature volume the cost is computed
-    on: masked MIND-SSC (12 ch, mean-pooled) + one-hot combined
-    lobes/fissures labels (nearest-downsampled), as in
-    adam_registration.py:41-47,83-92.
+    """Assemble the (C, d, h, w) feature volume the cost is computed on:
+    masked MIND-SSC (12 ch, mean-pooled) + one-hot combined lobes/fissures
+    labels (nearest-downsampled), as in adam_registration.py:41-47,83-92.
+    Odd volume dims are floor-cropped to a multiple of `grid_sp` so both
+    feature groups downsample to identical shapes.
 
     :param img_hu: (D, H, W) CT in Hounsfield units
-    :param n_labels: static one-hot width for the combined label volume
+    :param n_labels: static one-hot width for the combined label volume.
+        `combined = lobes + fissures + max(lobes)` reaches 5+3+5 = 13 for
+        the 5-lobe/3-fissure convention; the default 16 keeps headroom
+        (jax.nn.one_hot silently zeroes out-of-range indices, which would
+        drop exactly the fissure-voxel features the cost needs).
     """
     m = mind(img_hu, ssc=True)                       # (12, D, H, W)
     if lung_mask is not None:
@@ -88,12 +93,21 @@ def registration_features(img_hu: jnp.ndarray, lung_mask=None, fissures=None,
         else:
             combined = lob
         onehot = jax.nn.one_hot(combined, n_labels, axis=0)  # (L, D, H, W)
-        feats.append(onehot[:, ::grid_sp, ::grid_sp, ::grid_sp])
+        # floor-crop so the strided nearest-downsample matches the VALID
+        # (floor) mean-pool of the MIND branch on odd dims
+        dm, hm, wm = (s // grid_sp for s in onehot.shape[1:])
+        feats.append(onehot[:, :dm * grid_sp:grid_sp, :hm * grid_sp:grid_sp,
+                            :wm * grid_sp:grid_sp])
     return jnp.concatenate(feats, axis=0).astype(jnp.float32)
 
 
 def _loss_fn(disp, feat_fix, feat_mov, id_xyz, lambda_weight):
     disp_s = _box_smooth3(disp)
+    # NB units: disp is in low-res *voxels*, and lambda_weight=0.65 is the
+    # reference/ConvexAdam production value for voxel-unit fields (its
+    # reg_loss also penalizes the voxel-unit weight, only the sampling grid
+    # divides by `scale`) — do not "fix" this by switching the penalty to
+    # normalized units, that would weaken it by (size_lo/2)^2.
     reg = sum(jnp.mean(jnp.square(jnp.diff(disp_s, axis=a)))
               for a in range(3)) * lambda_weight
     size_zyx = jnp.asarray(disp.shape[:3], jnp.float32)

@@ -127,6 +127,22 @@ def sample_shapes_to_npz(params: SSMParams, n_samples: int, out_dir: str,
         objs = np.stack([s[j * n_pts:(j + 1) * n_pts]
                          for j in range(objects_per_shape)])
         path = os.path.join(out_dir, f"SMPL{i:03d}_fixed.npz")
-        np.savez_compressed(path, shape=objs)
+        # save_shape convention (reference ssm.py:170-181): shape + its
+        # (identity by default) affine pre-registration. The reference
+        # pickles a transform dict into the npz; we store flat unpickled
+        # arrays (scale/rotation/translation) — load_shape_npz reads them.
+        np.savez_compressed(path, shape=objs, scale=np.float32(1.0),
+                            rotation=np.eye(3, dtype=np.float32),
+                            translation=np.zeros(3, np.float32))
         paths.append(path)
     return paths
+
+
+def load_shape_npz(path: str):
+    """Read a shape file written by sample_shapes_to_npz (reference
+    load_shape, ssm.py:184-198): returns (shape (O, P, 3), transform dict
+    with scale/rotation/translation)."""
+    with np.load(path) as z:
+        return z["shape"], {"scale": float(z["scale"]),
+                            "rotation": z["rotation"],
+                            "translation": z["translation"]}

@@ -23,9 +23,25 @@ from fissure_segmentation_tpu.utils.nifti import load_nifti, save_nifti
 
 
 def _maybe(path):
+    """Load an *optional* companion volume; None when absent."""
     if path and os.path.exists(path):
         return jnp.asarray(load_nifti(path).array)
     return None
+
+
+def _require(path, what):
+    """Load a required volume; a missing file is an error, not a silent
+    unmasked/label-free registration."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"{what} not found: {path}")
+    return jnp.asarray(load_nifti(path).array)
+
+
+def _companion(img_path, tag):
+    """Swap 'img' for `tag` in the *basename* only (the reference's
+    full-path replace corrupts paths whose directories contain 'img')."""
+    d, b = os.path.split(img_path)
+    return os.path.join(d, b.replace("img", tag))
 
 
 def main():
@@ -51,12 +67,12 @@ def main():
     mov = load_nifti(args.moving_file)
     res = register_images(
         jnp.asarray(fix.array), jnp.asarray(mov.array),
-        mask_fix=_maybe(args.fixed_mask_file),
-        mask_mov=_maybe(args.moving_mask_file),
-        fissures_fix=_maybe(args.fixed_file.replace("img", "fissures_poisson")),
-        fissures_mov=_maybe(args.moving_file.replace("img", "fissures_poisson")),
-        lobes_fix=_maybe(args.fixed_file.replace("img", "lobes")),
-        lobes_mov=_maybe(args.moving_file.replace("img", "lobes")),
+        mask_fix=_require(args.fixed_mask_file, "fixed mask"),
+        mask_mov=_require(args.moving_mask_file, "moving mask"),
+        fissures_fix=_maybe(_companion(args.fixed_file, "fissures_poisson")),
+        fissures_mov=_maybe(_companion(args.moving_file, "fissures_poisson")),
+        lobes_fix=_maybe(_companion(args.fixed_file, "lobes")),
+        lobes_mov=_maybe(_companion(args.moving_file, "lobes")),
         iters=args.iters, lambda_weight=args.lambda_weight)
     print(f"final cost {float(res['losses'][-1]):.5f} "
           f"(initial {float(res['losses'][0]):.5f})")

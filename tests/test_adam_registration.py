@@ -93,3 +93,36 @@ def test_register_images_end_to_end():
     assert res["warped"].shape == shape
     assert np.isfinite(np.asarray(res["losses"])).all()
     assert float(res["losses"][-1]) < float(res["losses"][0])
+
+
+def test_registration_features_odd_dims_with_labels():
+    """Odd volume dims: MIND (floor mean-pool) and label one-hots (strided)
+    must downsample to identical shapes; fissure-voxel label features must
+    survive the one-hot width (lob+fis+max(lob) reaches 13)."""
+    from fissure_segmentation_tpu.shape_model.adam_registration import (
+        registration_features)
+    shape = (17, 19, 21)
+    img = _smooth_image(shape) * 300.0
+    lobes = np.zeros(shape, np.int32)
+    lobes[2:15, 2:17, 2:19] = 5
+    fissures = np.zeros(shape, np.int32)
+    fissures[8, 5:15, 5:15] = 3           # combined = 5 + 3 + 5 = 13
+    feats = np.asarray(registration_features(
+        img, jnp.asarray(np.ones(shape, bool)), jnp.asarray(fissures),
+        jnp.asarray(lobes)))
+    assert feats.shape == (12 + 16, 8, 9, 10)
+    # the channel for combined==13 is nonzero at the fissure location
+    assert feats[12 + 13].sum() > 0
+
+
+def test_companion_path_basename_only():
+    from register_images import _companion
+    p = _companion("/data/imgs/case_img_fixed.nii.gz", "lobes")
+    assert p == "/data/imgs/case_lobes_fixed.nii.gz"
+
+
+def test_required_mask_missing_raises(tmp_path):
+    import pytest
+    from register_images import _require
+    with pytest.raises(FileNotFoundError):
+        _require(str(tmp_path / "nope.nii.gz"), "fixed mask")

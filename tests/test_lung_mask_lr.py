@@ -57,3 +57,17 @@ def test_single_component_capped():
 def test_empty_mask():
     lr = binary_lung_mask_to_left_right(np.zeros((8, 8, 8), bool))
     assert (lr == 0).all()
+
+
+def test_single_component_opened_still_covers_mask():
+    """When the opening ran but only one component exists, the EDT restore
+    must still reassign every original mask voxel (no dropped voxels)."""
+    m = np.zeros((24, 24, 24), bool)
+    m[4:20, 4:20, 4:20] = True
+    m[4:20, 4:6, 20:22] = True   # thin flap the opening erodes away
+    # two same-size blobs ratio fine -> force implausibility via a speck
+    m2 = m.copy()
+    m2[1, 1, 1] = True           # tiny second component -> ratio implausible
+    lr = binary_lung_mask_to_left_right(m2, max_opening_radius=3)
+    covered = (lr > 0) == m2
+    assert covered.all()

@@ -46,8 +46,11 @@ def test_latent_interpolation(tmp_path):
 
 
 def test_sample_shapes_to_npz(tmp_path):
+    from fissure_segmentation_tpu.shape_model import load_shape_npz
+
     params = fit_ssm(_train_shapes())
     paths = sample_shapes_to_npz(params, 4, str(tmp_path))
     assert len(paths) == 4
-    arr = np.load(paths[0])["shape"]
+    arr, trf = load_shape_npz(paths[0])
     assert arr.shape == (2, 32, 3)
+    assert trf["scale"] == 1.0 and trf["rotation"].shape == (3, 3)

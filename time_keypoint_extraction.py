@@ -89,50 +89,65 @@ def main(argv=None):
 
     timers: dict[str, list] = {m: [] for m in args.modes}
     kpt_counts: dict[str, list] = {}
+    seen: set = set()  # (mode, shape) pairs whose compile call was discarded
 
-    def timed(key, fn, first):
+    def timed(key, fn, shape):
         t0 = time.perf_counter()
         out = fn()
         jax.block_until_ready(out)
-        if not first:            # first call per mode = compile, discarded
+        # the first call per (mode, volume shape) compiles — discard it;
+        # with --data_dir every distinct case shape retraces the jit
+        recorded = (key, shape) in seen
+        if recorded:
             timers[key].append(time.perf_counter() - t0)
-        return out
+        seen.add((key, shape))
+        return out, recorded
+
+    # feature timings need keypoints even when foerstner isn't timed itself
+    need_kpts = bool({"foerstner", "mind", "ssc", "patch"} & set(args.modes))
 
     for i, (img_np, mask_np) in enumerate(cases):
         img = jnp.asarray(img_np, jnp.float32)
         mask = jnp.asarray(mask_np) > 0
         rng = jax.random.PRNGKey(i)
-        first = i == 0
+        shape = img.shape
 
-        if "foerstner" in args.modes:
-            kp, valid = timed(
-                "foerstner",
-                lambda: foerstner_keypoints(img, mask, max_kpts=MAX_KPTS),
-                first)[:2]
+        if need_kpts:
+            # production/reference config: sigma=0.5, nms d=5, thresh 1e-8
+            # (keypoints/extraction.py:128-130,
+            # reference time_keypoint_extraction.py:110)
+            def run_foerstner():
+                return foerstner_keypoints(img, mask, sigma=0.5, d=5,
+                                           thresh=1e-8, max_kpts=MAX_KPTS)
+            if "foerstner" in args.modes:
+                (kp, valid, _), recorded = timed("foerstner", run_foerstner,
+                                                 shape)
+                if recorded:
+                    kpt_counts.setdefault("foerstner", []).append(
+                        int(np.asarray(valid).sum()))
+            else:
+                kp, valid, _ = run_foerstner()
         if "enhancement" in args.modes:
             timed("enhancement", lambda: get_enhancement_keypoints(
-                hessian_fissure_enhancement(img, -313.5, 62.6)), first)
+                hessian_fissure_enhancement(img, -313.5, 62.6)), shape)
         if "cnn" in args.modes:
             def run_cnn():
                 soft = predict_full_volume(cnn.apply, cnn_vars, img,
                                            dtype=jnp.bfloat16)
                 return get_cnn_keypoints(soft, mask, rng=rng,
                                          max_kpts=MAX_KPTS)
-            timed("cnn", run_cnn, first)
-        if "foerstner" in args.modes:
-            kpg = kpts_to_grid(kp[:, ::-1].astype(jnp.float32),
-                               img.shape)
-            kpt_counts.setdefault("foerstner", []).append(
-                int(np.asarray(valid).sum()))
+            timed("cnn", run_cnn, shape)
+        if need_kpts:
+            kpg = kpts_to_grid(kp[:, ::-1].astype(jnp.float32), img.shape)
             if "mind" in args.modes:
                 timed("mind", lambda: descriptor_at_keypoints(
-                    mind(img, ssc=False), kpg), first)
+                    mind(img, ssc=False), kpg), shape)
             if "ssc" in args.modes:
                 timed("ssc", lambda: descriptor_at_keypoints(
-                    mind(img, ssc=True), kpg), first)
+                    mind(img, ssc=True), kpg), shape)
             if "patch" in args.modes:
                 timed("patch", lambda: sample_patches_at_kpts(
-                    img, kpg, 5), first)
+                    img, kpg, 5), shape)
 
     name_map = {"foerstner": "foerstner_kpts.csv",
                 "enhancement": "enhancement_kpts.csv",
