@@ -46,8 +46,11 @@ def _module_config(module: nn.Module) -> dict[str, Any]:
 
 def save_model(module: nn.Module, variables: Any, path: str) -> None:
     """Save architecture config + weights to a single file."""
+    # format 2 = EdgeConv parameter tree uses EdgeMLP (fused pre-gather
+    # matmul) instead of SharedMLP_0; format-1 DGCNN-family checkpoints
+    # have an incompatible param tree.
     header = json.dumps({
-        "format": 1,
+        "format": 2,
         "model_class": type(module).__name__,
         "config": _module_config(module),
     }).encode()
@@ -75,4 +78,20 @@ def load_model(path: str):
     module = cls(**config)
     # Build a template pytree so msgpack restores correct dtypes/shapes.
     variables = flax.serialization.msgpack_restore(payload)
+    if header.get("format", 1) < 2 and any(
+            "EdgeMLP" in k for k in _flat_keys(variables)) is False \
+            and any("SharedMLP" in k for k in _flat_keys(variables)):
+        import warnings
+        warnings.warn(
+            f"{path} was saved before the EdgeConv EdgeMLP refactor "
+            "(format 1); DGCNN-family models will fail to apply these "
+            "parameters. Re-train or re-save with the current code.")
     return module, variables
+
+
+def _flat_keys(tree, prefix=""):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flat_keys(v, f"{prefix}/{k}")
+    else:
+        yield prefix

@@ -65,7 +65,10 @@ class PointTransformerLayer(nn.Module):
         w = _bn(train, dt)(w)
         w = nn.relu(w)
         w = nn.Dense(c // s, kernel_init=xavier_normal, dtype=dt)(w)
-        w = nn.softmax(w.astype(jnp.float32), axis=-3)        # over neighbors
+        # softmax over the NEIGHBOR axis (reference nn.Softmax(dim=1) on an
+        # (n, nsample, c) tensor, seg_model.py:33,49) — with our batch dim
+        # that is axis -2, i.e. each query's ns attention weights sum to 1
+        w = nn.softmax(w.astype(jnp.float32), axis=-2)
 
         b, n, ns, _ = v_grp.shape
         v = (v_grp + pe).astype(jnp.float32).reshape(b, n, ns, s, c // s)

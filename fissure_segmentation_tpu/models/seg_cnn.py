@@ -232,9 +232,13 @@ def predict_full_volume(apply_fn, variables, img: jnp.ndarray,
     (seg_cnn.py:22-62): the CNN is fully convolutional and a TPU chip's HBM
     fits the full 256^3 activation footprint in bf16, so the ~3.4x redundant
     compute of the 50%-overlap 128^3 tiling (27 patches per 256^3 CT) and
-    the Gaussian blending disappear. Outputs differ from patch inference
-    only in (a) no patch-border effects (strictly better) and (b) the ASPP
-    global-pooling branch pools over the whole volume instead of per patch.
+    the Gaussian blending disappear. Outputs differ from patch inference in
+    (a) no patch-border effects, (b) the ASPP global-pooling branch pools
+    over the whole volume instead of per patch, and (c) calibration: this
+    returns softmax(logits) once, while the patch protocol (reference
+    seg_cnn.py:62 parity) re-softmaxes the blended probabilities, which
+    compresses them toward uniform — argmax agrees, but thresholds and
+    softmax-patch feature scales differ between the two protocols.
     Use `predict_all_patches` for bit-parity with the reference protocol or
     when the volume exceeds memory (or shard it: parallel/spatial.py).
 

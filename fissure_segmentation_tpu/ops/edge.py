@@ -16,10 +16,25 @@ import jax.numpy as jnp
 import numpy as np
 from jax import dtypes
 
-# limits under which the one-hot-matmul scatter backward fits VMEM
-# ((N, C) f32 accumulator + (tile, N) one-hot per grid step)
-_MM_MAX_ROWS = 8192
-_MM_MAX_CH = 512
+# VMEM budget for the one-hot-matmul scatter backward (per grid step:
+# (tile, N) bf16 one-hot + (N, C_eff) f32 accumulator + (tile, C_eff) bf16
+# payload, C_eff = 2C for the f32 hi/lo split). ~16 MB physical; leave
+# headroom for Mosaic spills.
+_MM_VMEM_BUDGET = 12 * 2 ** 20
+
+
+def _mm_scatter_tile(n: int, c: int, is_f32: bool) -> int | None:
+    """Largest kernel edge-tile whose VMEM footprint fits, or None when the
+    shape cannot fit at any tile size (then the XLA scatter is used).
+    Routing admits exactly what the kernel can compile — a guard on N/C
+    alone admitted e.g. N=8192 whose one-hot at the default tile is 16.8 MB
+    and crashed compilation instead of falling back."""
+    c_eff = 2 * c if is_f32 else c
+    acc = n * c_eff * 4
+    for tile in (1024, 512, 256):
+        if tile * n * 2 + acc + tile * c_eff * 2 <= _MM_VMEM_BUDGET:
+            return tile
+    return None
 
 
 def _flat_gather(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -51,9 +66,10 @@ def _gather_rows_bwd(idx, ct):
     e = n * k
     ct2 = ct.reshape(b, e, c)
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and n <= _MM_MAX_ROWS and c <= _MM_MAX_CH:
+    tile_e = _mm_scatter_tile(n, c, xdtype == jnp.float32) if on_tpu else None
+    if tile_e is not None:
         from .pallas.scatter import scatter_add_mm
-        dx = scatter_add_mm(idx.reshape(b, e), ct2, n)
+        dx = scatter_add_mm(idx.reshape(b, e), ct2, n, tile_e=tile_e)
     else:
         dx = jnp.zeros((b, n, c), jnp.float32).at[
             jnp.arange(b)[:, None], idx.reshape(b, e)].add(

@@ -104,6 +104,13 @@ def fit_lssm(train_shapes: np.ndarray, num_levels: int = 5,
         F = 3P in [x0 y0 z0 x1 ...] layout)
     :return: SSMParams with the merged localized basis; defaults mirror the
         reference LSSM (num_levels=5, alpha=2.5, ssm.py:135-137).
+
+    NB eigenvalue units mirror the reference's own inconsistency: LSSM
+    stores what LPCA returns — covariance eigenvalues, i.e. VARIANCES
+    (reference ssm.py:151 <- LPCA/model.py:65) — while fit_ssm stores SVD
+    singular values (reference ssm.py:56 pca_lowrank S). Downstream
+    consumers (DGSSM coefficient scaling, ssm_random_samples) see the same
+    values the reference feeds them; do not "harmonize" the two fits.
     """
     x = np.asarray(train_shapes, np.float64)
     if x.ndim == 3:

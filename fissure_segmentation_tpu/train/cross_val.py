@@ -34,7 +34,13 @@ def cross_val_training(ds: PointDataset, split: list[dict], out_dir: str,
     :param folds: subset of fold indices to run (default: all).
     """
     os.makedirs(out_dir, exist_ok=True)
-    save_split_file(split, os.path.join(out_dir, "cross_val_split.json"))
+    split_path = os.path.join(out_dir, "cross_val_split.json")
+    # Record the training split once. Never clobber an existing record: a
+    # --test_only / COPD transfer rerun passes a *different* (possibly
+    # freshly generated) split, and overwriting would destroy the
+    # provenance of which cases each fold's model was trained on.
+    if not (test_only and os.path.exists(split_path)):
+        save_split_file(split, split_path)
     fold_metrics: list[dict] = []
 
     for fold in (range(len(split)) if folds is None else folds):

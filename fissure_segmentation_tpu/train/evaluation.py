@@ -263,7 +263,7 @@ def test_pipeline(ds: PointDataset, apply_fn, variables, out_dir: str,
                   missing.mean(0))
     write_raw_results_per_instance(out_dir, ids=ids, copd=copd,
                                    dice=dices[:, 1:], assd=metrics["assd"])
-    write_speed_results(out_dir, inference_times, post_times)
+    write_speed_results(out_dir, inference_times, post_times, suffix=suffix)
     return {"dice": dices.mean(0), "assd": mean(metrics["assd"]),
             "sdsd": mean(metrics["sdsd"]), "hd": mean(metrics["hd"]),
             "hd95": mean(metrics["hd95"]), "missing": missing.mean(0)}
@@ -317,8 +317,10 @@ def write_raw_results_per_instance(out_folder, ids=None, copd=False, **metrics):
 
 
 def write_speed_results(out_dir, all_inference_times, all_post_proc_times=None,
-                        points_per_fissure=None):
-    """(train.py:427-448 format parity)"""
+                        points_per_fissure=None, suffix=""):
+    """(train.py:427-448 format parity). `suffix` (e.g. "_copd") keeps
+    transfer-validation timings from overwriting the in-distribution
+    inference_time.csv in the shared fold test dir."""
     inf = np.asarray(all_inference_times, np.float64)
     post = np.asarray(all_post_proc_times, np.float64) \
         if all_post_proc_times is not None else np.zeros_like(inf)
@@ -330,7 +332,7 @@ def write_speed_results(out_dir, all_inference_times, all_post_proc_times=None,
         ppf = np.asarray(points_per_fissure, np.float64)
         header += ["Points_per_Fissure", "Points_per_Fissure_std"]
         row += [ppf.mean(), ppf.std(0).mean()]
-    with open(os.path.join(out_dir, "inference_time.csv"), "w") as f:
+    with open(os.path.join(out_dir, f"inference_time{suffix}.csv"), "w") as f:
         w = csv.writer(f)
         w.writerow(header)
         w.writerow([float(v) for v in row])

@@ -73,10 +73,18 @@ def evaluate_enhancement(folder: str) -> None:
             jnp.asarray(img), fissure_mu=-313.5, fissure_sigma=62.6))
         roc_auc, avg_prec, th, dice, _, _ = fissure_candidates(
             enhanced, fissures, img_dir=eval_dir, img_prefix=f"{case}_")
-        rows.append([case, roc_auc.get("all"), avg_prec.get("all"),
-                     float(th[int(np.argmax(dice))]), float(dice.max())])
-        print(f"{case}: AUC={roc_auc.get('all'):.4f} "
-              f"AP={avg_prec.get('all'):.4f} best dice={dice.max():.4f}")
+        auc, ap = roc_auc.get("all"), avg_prec.get("all")
+        if auc is None:
+            # degenerate GT (no fissure voxels, or all-foreground) — the
+            # threshold sweep skips such groups; record NaN, keep going
+            print(f"{case}: degenerate fissure GT, skipped")
+            rows.append([case, float("nan"), float("nan"), float("nan"),
+                         float("nan")])
+            continue
+        rows.append([case, auc, ap, float(th[int(np.argmax(dice))]),
+                     float(dice.max())])
+        print(f"{case}: AUC={auc:.4f} AP={ap:.4f} "
+              f"best dice={dice.max():.4f}")
     with open(os.path.join(eval_dir, "enhancement_eval.csv"), "w") as f:
         csv.writer(f).writerows(rows)
     print(f"wrote {eval_dir}/enhancement_eval.csv")

@@ -86,3 +86,15 @@ def test_kernel_shape_validated(bad_rows):
     idx = jnp.zeros((1, 4, 2), jnp.int32)
     with pytest.raises(ValueError):
         edge_mlp_pre_gather(x, idx, jnp.zeros((bad_rows, 4)))
+
+
+def test_mm_scatter_tile_vmem_guard():
+    """Routing admits only shapes whose kernel footprint fits VMEM: the
+    canonical config keeps the fast tile, N=8192 degrades the tile, and
+    an accumulator beyond budget falls back to the XLA scatter (None)."""
+    from fissure_segmentation_tpu.ops.edge import _mm_scatter_tile
+
+    assert _mm_scatter_tile(2048, 64, True) == 1024    # canonical DGCNN
+    assert _mm_scatter_tile(8192, 64, True) == 256     # big cloud: shrink
+    assert _mm_scatter_tile(8192, 512, True) is None   # acc alone > budget
+    assert _mm_scatter_tile(2048, 512, False) is not None

@@ -60,3 +60,18 @@ def test_point_transformer_seg_shapes():
     assert out.shape == (2, 256, 4)
     out2, mut = model.apply(variables, x, train=True, mutable=["batch_stats"])
     assert "batch_stats" in mut
+
+
+def test_attention_softmax_over_neighbor_axis():
+    """The vector-attention weights must normalize over the NEIGHBOR axis
+    (reference seg_model.py:33 nn.Softmax(dim=1) on (n, nsample, c)):
+    jnp.softmax with the fixed axis sums to 1 per (query, channel)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    w = jnp.asarray(np.random.RandomState(0).randn(2, 5, 7, 3))
+    s = nn.softmax(w, axis=-2)
+    np.testing.assert_allclose(np.asarray(s.sum(axis=-2)), 1.0, atol=1e-6)
+    # the previously used axis (-3) does NOT normalize neighborhoods
+    assert not np.allclose(np.asarray(nn.softmax(w, axis=-3).sum(-2)), 1.0)
