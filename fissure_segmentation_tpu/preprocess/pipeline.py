@@ -93,7 +93,9 @@ def label_pipeline_case(img: np.ndarray, fissures: np.ndarray,
                         lung_mask: np.ndarray, out_dir: str, case: str,
                         sequence: str, exclude_rhf: bool = True,
                         kp_mode: str = "foerstner", compute_points: bool = True,
-                        spacing=(1.0, 1.0, 1.0), **fit_kwargs) -> dict:
+                        spacing=(1.0, 1.0, 1.0),
+                        cnn_model_path: str | None = None,
+                        **fit_kwargs) -> dict:
     """The reference's 4-step per-case label pipeline
     (label_preprocessing_pipeline.py:17-52):
       1. Poisson regularization of the fissure labels (+ GT meshes),
@@ -101,6 +103,11 @@ def label_pipeline_case(img: np.ndarray, fissures: np.ndarray,
       3. lobe generation from the fissures,
       4. keypoint + feature extraction.
     Writes meshes/point files under `out_dir` and returns the artifacts.
+
+    :param cnn_model_path: for kp_mode='cnn': a trained seg-CNN checkpoint
+        (.fst) whose single-pass full-volume softmax supplies the candidate
+        map (reference keypoint_extraction.py:53-131 loads the MobileNetASPP
+        fold model and runs the sliding window).
     """
     import jax
 
@@ -130,7 +137,19 @@ def label_pipeline_case(img: np.ndarray, fissures: np.ndarray,
     # 4. keypoints + features
     if compute_points:
         from ..keypoints.extraction import compute_keypoints
+        cnn_softmax = None
+        if kp_mode == "cnn":
+            if cnn_model_path is None:
+                raise ValueError(
+                    "kp_mode='cnn' needs cnn_model_path (a trained seg-CNN "
+                    ".fst checkpoint, e.g. <seg_cnn_dir>/fold0/model.fst)")
+            from ..models import load_model, predict_full_volume
+            module, variables = load_model(cnn_model_path)
+            cnn_softmax = predict_full_volume(
+                module.apply, variables, jnp.asarray(img, jnp.float32),
+                dtype=jnp.bfloat16)
         out["points"] = compute_keypoints(
             jax.random.PRNGKey(0), img, regularized, lung_mask,
-            kp_mode=kp_mode, lobes=lobes, case_id=case, sequence=sequence)
+            kp_mode=kp_mode, lobes=lobes, case_id=case, sequence=sequence,
+            cnn_softmax=cnn_softmax)
     return out

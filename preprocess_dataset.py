@@ -22,7 +22,8 @@ import numpy as np
 
 
 def process_case(img, lobes, spacing, out_dir: str, case: str,
-                 sequence: str = "fixed", kp_mode: str = "foerstner"):
+                 sequence: str = "fixed", kp_mode: str = "foerstner",
+                 cnn_model_path: str | None = None):
     from fissure_segmentation_tpu.preprocess.labels import \
         binary_lung_mask_to_left_right
     from fissure_segmentation_tpu.preprocess.pipeline import (
@@ -39,7 +40,8 @@ def process_case(img, lobes, spacing, out_dir: str, case: str,
         spacing=np.asarray(spacing, np.float32))
     out = label_pipeline_case(pre["image"], pre["fissures"],
                               pre["lung_mask"], out_dir, case, sequence,
-                              kp_mode=kp_mode, spacing=spacing)
+                              kp_mode=kp_mode, spacing=spacing,
+                              cnn_model_path=cnn_model_path)
     if out.get("points") is not None:
         from fissure_segmentation_tpu.data.dataset import save_case_npz
         save_case_npz(out["points"], out_dir)
@@ -98,6 +100,9 @@ def main(argv=None):
     parser.add_argument("--synthetic", type=int, default=0,
                         help="generate N synthetic demo cases instead")
     parser.add_argument("--kp_mode", default="foerstner")
+    parser.add_argument("--cnn_model", default=None,
+                        help="trained seg-CNN checkpoint (.fst) for "
+                             "kp_mode=cnn (e.g. seg_cnn_out/fold0/model.fst)")
     parser.add_argument("--sequence", default="fixed")
     parser.add_argument("--evaluate_enhancement", action="store_true",
                         help="evaluate the Hessian fissure-enhancement "
@@ -118,7 +123,8 @@ def main(argv=None):
             # synthetic cases carry HU-like intensities in [-1, 1); rescale
             img = case["image"] * 1000.0
             process_case(img, case["lobes"], case["spacing"], args.output,
-                         case["case_id"], args.sequence, args.kp_mode)
+                         case["case_id"], args.sequence, args.kp_mode,
+                         cnn_model_path=args.cnn_model)
             print(f"processed {case['case_id']}")
         return
     if not args.data_dir:
@@ -130,7 +136,7 @@ def main(argv=None):
             lobes = z["lobes"]
             spacing = z["spacing"] if "spacing" in z else (1.0, 1.0, 1.0)
         process_case(img, lobes, spacing, args.output, case, args.sequence,
-                     args.kp_mode)
+                     args.kp_mode, cnn_model_path=args.cnn_model)
         print(f"processed {case}")
 
 

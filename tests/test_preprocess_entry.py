@@ -54,3 +54,34 @@ def test_cosine_lr_trace_matches_trainer():
     # warm restarts actually restart
     wr = cosine_lr_trace(epochs, lr, t_max=25, warm_restarts=True)
     assert wr[24] > wr[23]
+
+
+@pytest.mark.slow
+def test_process_case_cnn_mode(tmp_path):
+    """kp_mode='cnn' in the preprocessing pipeline loads the seg-CNN
+    checkpoint and produces keypoints from its full-volume softmax
+    (reference keypoint_extraction.py:53-131)."""
+    import jax
+    import jax.numpy as jnp
+    from fissure_segmentation_tpu.data.synthetic import \
+        make_synthetic_image_case
+    from fissure_segmentation_tpu.models import MobileNetASPP
+    from fissure_segmentation_tpu.models.io import save_model
+    import preprocess_dataset as pd
+
+    cnn = MobileNetASPP(num_classes=4)
+    variables = cnn.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 32, 32, 32, 1), jnp.float32),
+                         train=False)
+    ckpt = tmp_path / "model.fst"
+    save_model(cnn, variables, str(ckpt))
+
+    case = make_synthetic_image_case(1, shape=(48, 48, 48))
+    out = pd.process_case(case["image"], case["lobes"], (1.0, 1.0, 1.0),
+                          str(tmp_path), "CNN000", kp_mode="cnn",
+                          cnn_model_path=str(ckpt))
+    pts = out.get("points")
+    assert pts is not None and len(pts["coords"]) > 0
+    assert pts["coords"].shape[1] == 3
+    # cnn mode also attaches softmax-patch features
+    assert "features" in pts and pts["features"].shape[0] == len(pts["coords"])
