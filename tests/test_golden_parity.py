@@ -330,3 +330,39 @@ def test_plateau_scheduler_trace_matches_torch():
         trace_ref.append(opt.param_groups[0]["lr"])
         trace_ours.append(ours.step(float(l)))
     np.testing.assert_allclose(trace_ours, trace_ref, rtol=1e-12)
+
+
+def test_box_smooth3_matches_torch_avg_pool3d(rng):
+    """Registration displacement smoothing == the reference's triple
+    avg_pool3d(k=3, stride=1, padding=1) chain (adam_registration.py:112)."""
+    from fissure_segmentation_tpu.shape_model.adam_registration import \
+        _box_smooth3
+
+    disp = rng.standard_normal((6, 7, 8, 3)).astype(np.float32)
+    ours = np.asarray(_box_smooth3(jnp.asarray(disp)))
+
+    t = torch.from_numpy(disp).permute(3, 0, 1, 2).unsqueeze(0)  # (1,3,d,h,w)
+    for _ in range(3):
+        t = torch.nn.functional.avg_pool3d(t, 3, stride=1, padding=1)
+    ref = t.squeeze(0).permute(1, 2, 3, 0).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_grid_sample_volume_matches_torch(rng):
+    """Our grid_sample equivalent (registration cost + warping) == torch
+    F.grid_sample bilinear/zeros with align_corners=False."""
+    from fissure_segmentation_tpu.utils.sampling import grid_sample_volume
+
+    vol = rng.standard_normal((2, 9, 10, 11)).astype(np.float32)
+    coords = rng.uniform(-1.1, 1.1, (50, 3)).astype(np.float32)  # incl. OOB
+
+    ours = np.asarray(grid_sample_volume(jnp.asarray(vol),
+                                         jnp.asarray(coords),
+                                         mode="bilinear",
+                                         padding_mode="zeros"))  # (2, 50)
+    ref = torch.nn.functional.grid_sample(
+        torch.from_numpy(vol).unsqueeze(0),                     # (1,2,d,h,w)
+        torch.from_numpy(coords).view(1, -1, 1, 1, 3),
+        mode="bilinear", padding_mode="zeros",
+        align_corners=False).squeeze().numpy()                  # (2, 50)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
