@@ -49,7 +49,9 @@ def parse_case_sequence(filename: str) -> tuple[str, str]:
         return m.group(1), {"f": "fixed", "m": "moving"}[m.group(2)]
     parts = base.split("_")
     case, sequence = parts[0], parts[-1]
-    sequence = sequence.replace("fix", "fixed").replace("mov", "moving")
+    # map the short forms; leave full names alone (a str.replace would turn
+    # an already-full "fixed" into "fixeded")
+    sequence = {"fix": "fixed", "mov": "moving"}.get(sequence, sequence)
     return case, sequence
 
 
