@@ -1,0 +1,161 @@
+"""Full-model golden parity: DGCNNSeg / DGCNNReg forward vs the reference.
+
+The strongest cross-framework check we can run: build the reference PyTorch
+model (models/dgcnn.py:116-209), copy its weights into our channel-last Flax
+model (a 1x1 ConvNd is a Dense: kernel = conv.weight[..., 0].T; BatchNorm
+buffers map 1:1), and assert the eval-mode logits agree on the same input.
+This pins the whole forward path at once — static-graph kNN, the fused
+matmul-before-gather EdgeMLP (ops/edge.py), edge-feature concat order
+([x_j - x_i, x_i], dgcnn.py:36), max-pools, the BatchNorm/LeakyReLU stacks
+and the segmentation/regression heads.
+
+Dynamic-graph mode is deliberately not golden-tested end-to-end: feature-space
+kNN makes neighbor sets sensitive to f32 rounding, so the op-level tests in
+test_golden_parity.py cover it instead.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from test_golden_parity import import_ref, t2n  # noqa: E402
+
+pytestmark = pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                                reason="reference repo not mounted")
+
+
+def _conv_kernel(conv) -> np.ndarray:
+    """1x1 ConvNd weight (out, in, 1[, 1]) -> Dense kernel (in, out)."""
+    w = t2n(conv.weight)
+    return w.reshape(w.shape[0], w.shape[1]).T.copy()
+
+
+def _bn(bn):
+    return ({"scale": t2n(bn.weight).copy(), "bias": t2n(bn.bias).copy()},
+            {"mean": t2n(bn.running_mean).copy(),
+             "var": t2n(bn.running_var).copy()})
+
+
+def _shared_fc(sfc, last=False):
+    """Reference SharedFullyConnected -> our SharedMLP {Dense_0, BatchNorm_0}."""
+    dense = {"kernel": _conv_kernel(sfc.layers[0])}
+    if last:
+        dense["bias"] = t2n(sfc.layers[0].bias).copy()
+        return {"Dense_0": dense}, None
+    p, s = _bn(sfc.layers[1])
+    return {"Dense_0": dense, "BatchNorm_0": p}, {"BatchNorm_0": s}
+
+
+def _edge_conv(ec):
+    """Reference EdgeConv -> our {EdgeMLP_0, SharedMLP_j...}.
+
+    The first shared-MLP layer is our fused EdgeMLP: its (2C, F) kernel rows
+    [:C] act on x_j - x_i and rows [C:] on x_i — the same channel order the
+    reference concatenates in (dgcnn.py:36), so the conv kernel copies over
+    without permutation.
+    """
+    params, stats = {}, {}
+    first = ec.shared_mlp[0]
+    p, s = _bn(first.layers[1])
+    params["EdgeMLP_0"] = {"kernel": _conv_kernel(first.layers[0]),
+                           "BatchNorm_0": p}
+    stats["EdgeMLP_0"] = {"BatchNorm_0": s}
+    for j, mlp in enumerate(ec.shared_mlp[1:]):
+        pj, sj = _shared_fc(mlp)
+        params[f"SharedMLP_{j}"] = pj
+        stats[f"SharedMLP_{j}"] = sj
+    return params, stats
+
+
+def _randomize_bn_buffers(model, gen):
+    """Give every BatchNorm non-trivial eval-mode statistics and affine."""
+    for m in model.modules():
+        if isinstance(m, torch.nn.modules.batchnorm._BatchNorm):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.from_numpy(
+                    gen.normal(0, 0.2, m.running_mean.shape).astype("f4")))
+                m.running_var.copy_(torch.from_numpy(
+                    gen.uniform(0.5, 1.5, m.running_var.shape).astype("f4")))
+                m.weight.copy_(torch.from_numpy(
+                    gen.uniform(0.5, 1.5, m.weight.shape).astype("f4")))
+                m.bias.copy_(torch.from_numpy(
+                    gen.normal(0, 0.2, m.bias.shape).astype("f4")))
+
+
+def _assemble(tm, edge_convs, head_modules, head_last_idx):
+    params, stats = {}, {}
+    for i, ec in enumerate(edge_convs):
+        p, s = _edge_conv(ec)
+        params[f"EdgeConv_{i}"] = p
+        stats[f"EdgeConv_{i}"] = s
+    p, s = _shared_fc(tm.global_feature[0])
+    params["SharedMLP_0"] = p
+    stats["SharedMLP_0"] = s
+    for j, mod in enumerate(head_modules):
+        last = j == head_last_idx
+        p, s = _shared_fc(mod, last=last)
+        params[f"SharedMLP_{j + 1}"] = p
+        if s is not None:
+            stats[f"SharedMLP_{j + 1}"] = s
+    return {"params": params, "batch_stats": stats}
+
+
+def _tree_paths(tree):
+    return {jax.tree_util.keystr(kp): np.shape(leaf)
+            for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+
+def _run_parity(torch_model, flax_model, variables, x_np, rng):
+    # structural check: the copied tree must match what init would build
+    init_vars = flax_model.init(jax.random.PRNGKey(0),
+                                jnp.asarray(x_np), train=False)
+    assert _tree_paths(init_vars) == _tree_paths(variables)
+
+    torch_model.eval()
+    with torch.no_grad():
+        out_t = t2n(torch_model(torch.from_numpy(x_np.transpose(0, 2, 1))))
+    with jax.default_matmul_precision("float32"):
+        out_j = np.asarray(flax_model.apply(variables, jnp.asarray(x_np),
+                                            train=False))
+    return out_t, out_j
+
+
+def test_dgcnn_seg_forward_matches_reference(rng):
+    ref = import_ref("models.dgcnn")
+    from fissure_segmentation_tpu.models import DGCNNSeg
+
+    torch.manual_seed(0)
+    tm = ref.DGCNNSeg(k=6, in_features=4, num_classes=4, dynamic=False)
+    _randomize_bn_buffers(tm, rng)
+    variables = _assemble(tm, [tm.ec1, tm.ec2, tm.ec3],
+                          list(tm.segmentation), head_last_idx=3)
+
+    x = rng.normal(size=(2, 48, 4)).astype("f4")
+    jm = DGCNNSeg(k=6, in_features=4, num_classes=4, dynamic=False)
+    out_t, out_j = _run_parity(tm, jm, variables, x, rng)
+    np.testing.assert_allclose(out_j, out_t.transpose(0, 2, 1),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_dgcnn_reg_forward_matches_reference(rng):
+    ref = import_ref("models.dgcnn")
+    from fissure_segmentation_tpu.models import DGCNNReg
+
+    torch.manual_seed(1)
+    tm = ref.DGCNNReg(k=6, in_features=3, num_classes=9, dynamic=False)
+    _randomize_bn_buffers(tm, rng)
+    variables = _assemble(tm, [tm.ec1, tm.ec2, tm.ec3, tm.ec4],
+                          list(tm.regression), head_last_idx=2)
+
+    x = rng.normal(size=(2, 48, 3)).astype("f4")
+    jm = DGCNNReg(k=6, in_features=3, num_classes=9, dynamic=False)
+    out_t, out_j = _run_parity(tm, jm, variables, x, rng)
+    # reference reg head keeps a trailing length-1 point axis: (B, C, 1)
+    np.testing.assert_allclose(out_j, out_t[..., 0], rtol=2e-4, atol=2e-4)
