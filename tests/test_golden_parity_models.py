@@ -144,6 +144,78 @@ def test_dgcnn_seg_forward_matches_reference(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+def _conv3d_kernel(conv) -> np.ndarray:
+    """torch Conv3d weight (out, in/g, kd, kh, kw) -> flax (kd, kh, kw, in/g, out)."""
+    return t2n(conv.weight).transpose(2, 3, 4, 1, 0).copy()
+
+
+def _conv_bn(seq, conv_idx=0, bn_idx=1):
+    p, s = _bn(seq[bn_idx])
+    return {"kernel": _conv3d_kernel(seq[conv_idx])}, p, s
+
+
+def test_mobilenet_aspp_forward_matches_reference(rng):
+    """Voxel-CNN full-forward parity (seg_cnn.py:100-126, mobilenet.py:16-52,
+    aspp_3d.py:58-86): backbone inverted residuals incl. the grouped
+    depthwise convs, the 6-branch ASPP + projection, the conv head, and both
+    nearest/trilinear x2 upsamplings."""
+    ref = import_ref("models.seg_cnn")
+    from fissure_segmentation_tpu.models import MobileNetASPP
+
+    torch.manual_seed(2)
+    tm = ref.MobileNetASPP(num_classes=3, patch_size=(16, 16, 16))
+    _randomize_bn_buffers(tm, rng)
+
+    params, stats = {}, {}
+    # backbone: layers[0] is Identity; blocks may be wrapped in ResBlock
+    mb_p, mb_s = {}, {}
+    for i, block in enumerate(list(tm.backbone.layers)[1:]):
+        seq = block.module if hasattr(block, "module") else block
+        bp, bs = {}, {}
+        for j, (ci, bi) in enumerate([(0, 1), (3, 4), (6, 7)]):
+            k, p, s = _conv_bn(seq, ci, bi)
+            bp[f"Conv_{j}"] = k
+            bp[f"BatchNorm_{j}"] = p
+            bs[f"BatchNorm_{j}"] = s
+        name = f"Checkpoint_InvertedResidual_{i}"
+        mb_p[name], mb_s[name] = bp, bs
+    params["MobileNet3D_0"], stats["MobileNet3D_0"] = mb_p, mb_s
+
+    # ASPP: 1x1 + 4 atrous + pooling branches, then the projection
+    ap, as_ = {}, {}
+    for j, branch in enumerate(tm.aspp.convs):
+        k, p, s = _conv_bn(branch)
+        ap[f"Conv_{j}"] = k
+        ap[f"BatchNorm_{j}"] = p
+        as_[f"BatchNorm_{j}"] = s
+    k, p, s = _conv_bn(tm.aspp.project)
+    ap["Conv_6"], ap["BatchNorm_6"], as_["BatchNorm_6"] = k, p, s
+    params["CheckpointASPP_0"], stats["CheckpointASPP_0"] = ap, as_
+
+    # head: conv/bn/relu, conv/bn/relu, conv(+bias)
+    for j, (ci, bi) in enumerate([(0, 1), (3, 4)]):
+        k, p, s = _conv_bn(tm.head, ci, bi)
+        params[f"Conv_{j}"] = k
+        params[f"BatchNorm_{j}"] = p
+        stats[f"BatchNorm_{j}"] = s
+    params["Conv_2"] = {"kernel": _conv3d_kernel(tm.head[6]),
+                        "bias": t2n(tm.head[6].bias).copy()}
+    variables = {"params": params, "batch_stats": stats}
+
+    x = rng.normal(size=(1, 16, 16, 16, 1)).astype("f4")
+    jm = MobileNetASPP(num_classes=3, patch_size=(16, 16, 16))
+    init_vars = jm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    assert _tree_paths(init_vars) == _tree_paths(variables)
+
+    tm.eval()
+    with torch.no_grad():
+        out_t = t2n(tm(torch.from_numpy(x.transpose(0, 4, 1, 2, 3))))
+    with jax.default_matmul_precision("float32"):
+        out_j = np.asarray(jm.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(out_j, out_t.transpose(0, 2, 3, 4, 1),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_dgcnn_reg_forward_matches_reference(rng):
     ref = import_ref("models.dgcnn")
     from fissure_segmentation_tpu.models import DGCNNReg
