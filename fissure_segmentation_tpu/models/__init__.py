@@ -5,6 +5,7 @@ from .io import save_model, load_model, MODEL_REGISTRY, register_model  # noqa: 
 from .ensemble import ensemble_predict  # noqa: F401
 from .access_models import get_point_seg_model_class  # noqa: F401
 from .folding_net import DGCNNFoldingNet  # noqa: F401
+from .dgcnn_cls import DGCNNCls, MultiHeadDGCNN, RegressionHead  # noqa: F401
 from .dg_ssm import DGSSM, dgssm_ensemble_predict  # noqa: F401
 from .dpsr_net import DPSRNet, DPSRNet2  # noqa: F401
 from .seg_cnn import (MobileNetASPP, predict_all_patches,  # noqa: F401

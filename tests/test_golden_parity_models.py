@@ -216,6 +216,103 @@ def test_mobilenet_aspp_forward_matches_reference(rng):
                                rtol=1e-3, atol=1e-3)
 
 
+def test_folding_net_forward_matches_reference(rng):
+    """PC-AE full-forward parity (folding_net.py:42-228): the open-source
+    DGCNN cls encoder (4 single-layer EdgeConvs with self-loop kNN,
+    dgcnn_opensrc.py:34-66) + two-stage FoldingDecoder over the fixed 45x45
+    +-0.3 plane (shape_constructor.py:35-40 -> m=2025, the only m the
+    reference's non-mesh plane path supports)."""
+    ref = import_ref("models.folding_net")
+    from fissure_segmentation_tpu.models import DGCNNFoldingNet
+
+    torch.manual_seed(3)
+    emb = 16
+    tm = ref.DGCNNFoldingNet(k=6, n_embedding=emb, shape_type="plane",
+                             n_input_points=2025, decode_mesh=False,
+                             static=True)
+    _randomize_bn_buffers(tm, rng)
+
+    enc_p, enc_s = {}, {}
+    for j, conv in enumerate([tm.encoder.conv1, tm.encoder.conv2,
+                              tm.encoder.conv3, tm.encoder.conv4]):
+        p, s = _bn(conv[1])
+        enc_p[f"EdgeMLP_{j}"] = {"kernel": _conv_kernel(conv[0]),
+                                 "BatchNorm_0": p}
+        enc_s[f"EdgeMLP_{j}"] = {"BatchNorm_0": s}
+    p, s = _bn(tm.encoder.conv5[1])
+    enc_p["SharedMLP_0"] = {"Dense_0": {"kernel": _conv_kernel(tm.encoder.conv5[0])},
+                            "BatchNorm_0": p}
+    enc_s["SharedMLP_0"] = {"BatchNorm_0": s}
+
+    dec_p = {}
+    for j, conv in enumerate([tm.decoder.folding1[0], tm.decoder.folding1[2],
+                              tm.decoder.folding1[4], tm.decoder.folding2[0],
+                              tm.decoder.folding2[2], tm.decoder.folding2[4]]):
+        dec_p[f"Dense_{j}"] = {"kernel": _conv_kernel(conv),
+                               "bias": t2n(conv.bias).copy()}
+    variables = {"params": {"DGCNNClsEncoder_0": enc_p,
+                            "FoldingDecoder_0": dec_p},
+                 "batch_stats": {"DGCNNClsEncoder_0": enc_s}}
+
+    x = rng.normal(size=(2, 64, 3)).astype("f4")
+    jm = DGCNNFoldingNet(k=6, n_embedding=emb, shape_type="plane",
+                         n_input_points=2025, decode_mesh=False, static=True)
+    out_t, out_j = _run_parity(tm, jm, variables, x, rng)
+    # reference decodes channel-first: (B, 3, m)
+    np.testing.assert_allclose(out_j, out_t.transpose(0, 2, 1),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_dgcnn_cls_forward_matches_reference(rng):
+    """cls-DGCNN (DGSSM backbone) full-forward parity
+    (dgcnn_opensrc.py:101-172): 4 EdgeConvs, emb conv, global max+avg
+    pooling, and the 3-layer FC head."""
+    from types import SimpleNamespace
+    ref = import_ref("models.dgcnn_opensrc")
+    from fissure_segmentation_tpu.models import DGCNNCls
+
+    torch.manual_seed(4)
+    emb = 32
+    args = SimpleNamespace(k=6, emb_dims=emb, dropout=0.0, static=True)
+    tm = ref.DGCNN(args, input_channels=3, output_channels=5)
+    _randomize_bn_buffers(tm, rng)
+
+    params, stats = {}, {}
+    for j, conv in enumerate([tm.conv1, tm.conv2, tm.conv3, tm.conv4]):
+        p, s = _bn(conv[1])
+        params[f"EdgeMLP_{j}"] = {"kernel": _conv_kernel(conv[0]),
+                                  "BatchNorm_0": p}
+        stats[f"EdgeMLP_{j}"] = {"BatchNorm_0": s}
+    p, s = _bn(tm.conv5[1])
+    params["SharedMLP_0"] = {"Dense_0": {"kernel": _conv_kernel(tm.conv5[0])},
+                             "BatchNorm_0": p}
+    stats["SharedMLP_0"] = {"BatchNorm_0": s}
+    for j, (lin, bn) in enumerate([(tm.linear1, tm.bn6), (tm.linear2, tm.bn7),
+                                   (tm.linear3, None)]):
+        d = {"kernel": t2n(lin.weight).T.copy()}
+        if lin.bias is not None:
+            d["bias"] = t2n(lin.bias).copy()
+        params[f"Dense_{j}"] = d
+        if bn is not None:
+            p, s = _bn(bn)
+            params[f"BatchNorm_{j}"] = p
+            stats[f"BatchNorm_{j}"] = s
+    variables = {"params": params, "batch_stats": stats}
+
+    x = rng.normal(size=(2, 48, 3)).astype("f4")
+    jm = DGCNNCls(k=6, output_channels=5, emb_dims=emb, static=True)
+    init_vars = jm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    assert _tree_paths(init_vars) == _tree_paths(variables)
+
+    tm.eval()
+    with torch.no_grad():
+        out_t = t2n(tm(torch.from_numpy(x.transpose(0, 2, 1))))
+    with jax.default_matmul_precision("float32"):
+        out_j, _ = jm.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out_j), out_t[..., 0],
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_dgcnn_reg_forward_matches_reference(rng):
     ref = import_ref("models.dgcnn")
     from fissure_segmentation_tpu.models import DGCNNReg
