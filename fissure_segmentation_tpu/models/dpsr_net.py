@@ -14,7 +14,12 @@ the spectral solver are given zyx in [0, 1] so channel/dim/coordinate order
 all agree. NOTE: the reference transposes the grid and then computes
 "grad_x" along what is the z axis (seg_logits_to_mesh.py:95-104) — an
 apparent x/z component swap of the normal field; we implement the
-mathematically consistent version.
+mathematically consistent version. The reference SoftMesh also feeds raw
+[-1, 1] coords into `spectral_PSR` (seg_logits_to_mesh.py:111) whose
+shift/scale normalization samples the field expecting [0, 1] voxel coords
+(dpsr_net.py:94 `grid_interp`; DPSR.forward:60 does `(V+1)/2` first on the
+intended path) — a second quirk we fix rather than reproduce, which is why
+the composed SoftMesh chain is golden-tested per op, not end-to-end.
 
 Output is fixed-shape: (seg_logits (B, N, C),
 surface_samples (B, C-1, n_surface_samples, 3) xyz grid coords,

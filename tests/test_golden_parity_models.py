@@ -263,6 +263,50 @@ def test_folding_net_forward_matches_reference(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+def _mlp_block(block):
+    """Reference MLPBlock (point_net.py:11-30: [conv,bn,lrelu]*n) -> our
+    MLPStack {SharedMLP_i: {Dense_0, BatchNorm_0}}."""
+    params, stats = {}, {}
+    convs = list(block.layers)
+    for i in range(len(convs) // 3):
+        p, s = _bn(convs[3 * i + 1])
+        params[f"SharedMLP_{i}"] = {
+            "Dense_0": {"kernel": _conv_kernel(convs[3 * i])},
+            "BatchNorm_0": p}
+        stats[f"SharedMLP_{i}"] = {"BatchNorm_0": s}
+    return params, stats
+
+
+def test_pointnet_seg_forward_matches_reference(rng):
+    """PointNetSeg full-forward parity (point_net.py:55-100) without
+    T-Nets (the reference's TNet head is runtime-broken, point_net.py:44,
+    so the transform-free configuration is the only runnable one)."""
+    ref = import_ref("models.point_net")
+    from fissure_segmentation_tpu.models import PointNetSeg
+
+    torch.manual_seed(5)
+    tm = ref.PointNetSeg(in_features=4, num_classes=4,
+                         spatial_transform=False, feature_transform=False)
+    _randomize_bn_buffers(tm, rng)
+
+    params, stats = {}, {}
+    for name, block in [("MLPStack_0", tm.local_features),
+                        ("MLPStack_1", tm.global_features[0]),
+                        ("MLPStack_2", tm.seg_branch[0])]:
+        p, s = _mlp_block(block)
+        params[name], stats[name] = p, s
+    head = tm.seg_branch[1]
+    params["Dense_0"] = {"kernel": _conv_kernel(head),
+                         "bias": t2n(head.bias).copy()}
+    variables = {"params": params, "batch_stats": stats}
+
+    x = rng.normal(size=(2, 48, 4)).astype("f4")
+    jm = PointNetSeg(in_features=4, num_classes=4)
+    out_t, out_j = _run_parity(tm, jm, variables, x, rng)
+    np.testing.assert_allclose(out_j, out_t.transpose(0, 2, 1),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_dgcnn_cls_forward_matches_reference(rng):
     """cls-DGCNN (DGSSM backbone) full-forward parity
     (dgcnn_opensrc.py:101-172): 4 EdgeConvs, emb conv, global max+avg
