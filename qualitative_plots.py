@@ -94,6 +94,99 @@ def plot_lr_schedules(out_dir: str, epochs: int = 1000, lr: float = 1e-3,
         plt.close(fig)
 
 
+def slice_3d(img: np.ndarray, slice_num: int, slice_dim: int):
+    """One slice along `slice_dim` (reference qualitative.py:30-32)."""
+    index = tuple([slice(None)] * slice_dim + [slice_num])
+    return img[index]
+
+
+def fissure_window_level(img: np.ndarray, mask: np.ndarray | None = None,
+                         low: float = -1024, high: float = -600) -> np.ndarray:
+    """Clamp HU to the fissure window; out-of-mask voxels -> high+1
+    (reference qualitative.py:35-40)."""
+    out = np.clip(np.asarray(img, np.float32), low, high)
+    if mask is not None:
+        out[np.asarray(mask) == 0] = high + 1
+    return out
+
+
+def crop_to_lung_indices(img: np.ndarray):
+    """Tight bounding slices of the non-max (in-lung) region
+    (reference qualitative.py:43-46)."""
+    nz = np.nonzero(img != img.max())
+    return tuple(slice(int(d.min()), int(d.max()) + 1) for d in nz)
+
+
+def multi_model_overlay(img: np.ndarray, label_maps: dict, slice_num: int,
+                        slice_dim: int = 2, out_dir: str = ".",
+                        fig_name: str = "keypoint_qualitative_comparison",
+                        patid: str = "case", alpha: float = 0.5):
+    """One CT slice with each model's binarized prediction in its own color
+    (reference qualitative.py:49-82) + a separate legend figure and an
+    unlabeled slice for side-by-side layout."""
+    import matplotlib
+    import matplotlib.pyplot as plt
+    from fissure_segmentation_tpu.utils.visualization import (
+        legend_figure, visualize_with_overlay)
+
+    img_slice = slice_3d(img, slice_num, slice_dim)
+    combined = np.zeros_like(img_slice, dtype=int)
+    for i, label in enumerate(label_maps.values()):
+        combined[slice_3d(np.asarray(label), slice_num, slice_dim) != 0] = i + 1
+
+    colors = matplotlib.colormaps["tab10"].colors
+    os.makedirs(out_dir, exist_ok=True)
+    fig, ax = plt.subplots()
+    visualize_with_overlay(img_slice, combined, alpha=alpha, ax=ax,
+                           colors=colors)
+    fig.savefig(os.path.join(out_dir, f"{fig_name}_{patid}_slice{slice_num}.png"),
+                dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    legend_figure(list(label_maps.keys()), colors[:len(label_maps)],
+                  path=os.path.join(out_dir, f"{fig_name}_legend.png"))
+    fig, ax = plt.subplots()
+    visualize_with_overlay(img_slice, np.zeros_like(combined), ax=ax)
+    fig.savefig(os.path.join(out_dir, f"{patid}_slice{slice_num}.png"),
+                dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+
+def multi_class_overlay(img: np.ndarray, label_map: np.ndarray,
+                        model_name: str, patid: str, slices,
+                        slice_dim: int = 2, out_dir: str = ".",
+                        spacing=None, alpha: float = 0.5,
+                        class_names=("LOF", "ROF", "RHF")):
+    """Per-class fissure overlays on lung-cropped slices
+    (reference qualitative.py:85-126)."""
+    import matplotlib.pyplot as plt
+    from fissure_segmentation_tpu.utils.visualization import (
+        legend_figure, visualize_with_overlay)
+
+    crop = crop_to_lung_indices(img)
+    img_c = img[crop]
+    lab_c = np.asarray(label_map)[crop]
+    spacing2d = None
+    if spacing is not None:
+        spacing2d = [s for d, s in enumerate(spacing) if d != slice_dim]
+    colors = [CLASS_COLORS[i + 1] for i in range(len(class_names))]
+    os.makedirs(out_dir, exist_ok=True)
+    for slice_num in slices:
+        s_c = slice_num - crop[slice_dim].start
+        if not 0 <= s_c < img_c.shape[slice_dim]:
+            continue
+        img_slice = slice_3d(img_c, s_c, slice_dim)
+        lab_slice = slice_3d(lab_c, s_c, slice_dim)
+        fig, ax = plt.subplots()
+        visualize_with_overlay(img_slice, lab_slice, alpha=alpha, ax=ax,
+                               colors=colors, spacing=spacing2d)
+        fig.savefig(os.path.join(
+            out_dir, f"{model_name}_{patid}_slice{slice_num}.png"),
+            dpi=150, bbox_inches="tight")
+        plt.close(fig)
+    legend_figure(class_names, colors,
+                  path=os.path.join(out_dir, "classes_legend.png"))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="qualitative figures")
     parser.add_argument("--output", default="results/plots/qualitative")
@@ -131,6 +224,17 @@ def main(argv=None):
     fig.savefig(os.path.join(args.output, "keypoints.png"), dpi=150,
                 bbox_inches="tight")
     plt.close(fig)
+
+    # model-comparison + per-class overlay figures (qualitative.py:49-126)
+    labels = np.asarray(case["labels"])
+    multi_model_overlay(np.asarray(case["image"]),
+                        {"DGCNN": labels != 0,
+                         "PointNet": np.roll(labels != 0, 2, axis=0)},
+                        slices[len(slices) // 2], slice_dim=0,
+                        out_dir=args.output, patid="synthetic")
+    multi_class_overlay(np.asarray(case["image"]), labels, "DGCNN",
+                        "synthetic", slices, slice_dim=0,
+                        out_dir=args.output)
 
     plot_lr_schedules(args.output)
     print(f"wrote figures to {args.output}")

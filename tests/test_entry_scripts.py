@@ -172,3 +172,20 @@ def test_register_images_entry(tmp_path, monkeypatch):
     d = np.load(tmp_path / "disp.npz")
     assert d["disp"].shape == (*shape, 3)
     assert load_nifti(str(tmp_path / "warped.nii.gz")).array.shape == shape
+
+
+def test_qualitative_plots_entry(tmp_path):
+    """qualitative_plots.py CLI: overlay, keypoint, comparison and LR-schedule
+    figures (reference qualitative.py:49-126 + keypoint_plots.py +
+    thesis/cosine_annealing.py)."""
+    import qualitative_plots as qp
+    out = str(tmp_path / "plots")
+    qp.main(["--output", out])
+    for name in ("fissure_overlay.png", "keypoints.png",
+                 "keypoint_qualitative_comparison_synthetic_slice32.png",
+                 "keypoint_qualitative_comparison_legend.png",
+                 "classes_legend.png", "cosine_annealing.png"):
+        assert os.path.exists(os.path.join(out, name)), name
+    # at least one per-class overlay slice was written
+    assert any(f.startswith("DGCNN_synthetic_slice")
+               for f in os.listdir(out))
