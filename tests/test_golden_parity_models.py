@@ -263,6 +263,64 @@ def test_folding_net_forward_matches_reference(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_dgcnn_seg_gradients_match_reference(rng):
+    """Backward-pass golden parity for the flagship model: with copied
+    weights and the same scalar loss, every parameter gradient must match
+    the reference autograd — pinning the fused matmul-before-gather EdgeMLP
+    custom VJP (ops/edge.py), the scatter-add backward of the neighbor
+    gather, and the max-pool subgradients. BN buffers are frozen (eval-mode
+    statistics) so only parameter gradients are compared."""
+    import copy
+
+    ref = import_ref("models.dgcnn")
+    from fissure_segmentation_tpu.models import DGCNNSeg
+
+    torch.manual_seed(6)
+    tm = ref.DGCNNSeg(k=6, in_features=4, num_classes=4, dynamic=False)
+    _randomize_bn_buffers(tm, rng)
+    variables = _assemble(tm, [tm.ec1, tm.ec2, tm.ec3],
+                          list(tm.segmentation), head_last_idx=3)
+
+    x = rng.normal(size=(2, 48, 4)).astype("f4")
+    w = rng.normal(size=(2, 48, 4)).astype("f4")  # fixed projection weights
+
+    tm.eval()  # frozen BN statistics; grads still flow
+    out_t = tm(torch.from_numpy(x.transpose(0, 2, 1)))
+    loss_t = (out_t * torch.from_numpy(w.transpose(0, 2, 1))).mean()
+    loss_t.backward()
+
+    # re-read the torch grads through the same weight-mapping helpers by
+    # loading each parameter's .grad into a cloned model's .data
+    clone = copy.deepcopy(tm)
+    for pc, p in zip(clone.parameters(), tm.parameters()):
+        pc.data = p.grad if p.grad is not None else torch.zeros_like(p)
+    grads_t = _assemble(clone, [clone.ec1, clone.ec2, clone.ec3],
+                        list(clone.segmentation), head_last_idx=3)["params"]
+
+    jm = DGCNNSeg(k=6, in_features=4, num_classes=4, dynamic=False)
+
+    def loss_j(params):
+        out = jm.apply({"params": params,
+                        "batch_stats": variables["batch_stats"]},
+                       jnp.asarray(x), train=False)
+        return jnp.mean(out * jnp.asarray(w))
+
+    with jax.default_matmul_precision("float32"):
+        loss_val, grads_j = jax.value_and_grad(loss_j)(variables["params"])
+
+    np.testing.assert_allclose(float(loss_val), float(loss_t.detach()),
+                               rtol=1e-5)
+    flat_t = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_flatten_with_path(grads_t)[0]}
+    flat_j = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_flatten_with_path(grads_j)[0]}
+    assert flat_t.keys() == flat_j.keys()
+    for key in flat_t:
+        np.testing.assert_allclose(
+            np.asarray(flat_j[key]), flat_t[key], rtol=1e-3, atol=1e-5,
+            err_msg=key)
+
+
 def _mlp_block(block):
     """Reference MLPBlock (point_net.py:11-30: [conv,bn,lrelu]*n) -> our
     MLPStack {SharedMLP_i: {Dense_0, BatchNorm_0}}."""
