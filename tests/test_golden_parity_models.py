@@ -154,22 +154,12 @@ def _conv_bn(seq, conv_idx=0, bn_idx=1):
     return {"kernel": _conv3d_kernel(seq[conv_idx])}, p, s
 
 
-def test_mobilenet_aspp_forward_matches_reference(rng):
-    """Voxel-CNN full-forward parity (seg_cnn.py:100-126, mobilenet.py:16-52,
-    aspp_3d.py:58-86): backbone inverted residuals incl. the grouped
-    depthwise convs, the 6-branch ASPP + projection, the conv head, and both
-    nearest/trilinear x2 upsamplings."""
-    ref = import_ref("models.seg_cnn")
-    from fissure_segmentation_tpu.models import MobileNetASPP
-
-    torch.manual_seed(2)
-    tm = ref.MobileNetASPP(num_classes=3, patch_size=(16, 16, 16))
-    _randomize_bn_buffers(tm, rng)
-
+def _assemble_mobilenet(model):
+    """Reference MobileNetASPP -> full flax variables tree."""
     params, stats = {}, {}
     # backbone: layers[0] is Identity; blocks may be wrapped in ResBlock
     mb_p, mb_s = {}, {}
-    for i, block in enumerate(list(tm.backbone.layers)[1:]):
+    for i, block in enumerate(list(model.backbone.layers)[1:]):
         seq = block.module if hasattr(block, "module") else block
         bp, bs = {}, {}
         for j, (ci, bi) in enumerate([(0, 1), (3, 4), (6, 7)]):
@@ -183,24 +173,38 @@ def test_mobilenet_aspp_forward_matches_reference(rng):
 
     # ASPP: 1x1 + 4 atrous + pooling branches, then the projection
     ap, as_ = {}, {}
-    for j, branch in enumerate(tm.aspp.convs):
+    for j, branch in enumerate(model.aspp.convs):
         k, p, s = _conv_bn(branch)
         ap[f"Conv_{j}"] = k
         ap[f"BatchNorm_{j}"] = p
         as_[f"BatchNorm_{j}"] = s
-    k, p, s = _conv_bn(tm.aspp.project)
+    k, p, s = _conv_bn(model.aspp.project)
     ap["Conv_6"], ap["BatchNorm_6"], as_["BatchNorm_6"] = k, p, s
     params["CheckpointASPP_0"], stats["CheckpointASPP_0"] = ap, as_
 
     # head: conv/bn/relu, conv/bn/relu, conv(+bias)
     for j, (ci, bi) in enumerate([(0, 1), (3, 4)]):
-        k, p, s = _conv_bn(tm.head, ci, bi)
+        k, p, s = _conv_bn(model.head, ci, bi)
         params[f"Conv_{j}"] = k
         params[f"BatchNorm_{j}"] = p
         stats[f"BatchNorm_{j}"] = s
-    params["Conv_2"] = {"kernel": _conv3d_kernel(tm.head[6]),
-                        "bias": t2n(tm.head[6].bias).copy()}
-    variables = {"params": params, "batch_stats": stats}
+    params["Conv_2"] = {"kernel": _conv3d_kernel(model.head[6]),
+                        "bias": t2n(model.head[6].bias).copy()}
+    return {"params": params, "batch_stats": stats}
+
+
+def test_mobilenet_aspp_forward_matches_reference(rng):
+    """Voxel-CNN full-forward parity (seg_cnn.py:100-126, mobilenet.py:16-52,
+    aspp_3d.py:58-86): backbone inverted residuals incl. the grouped
+    depthwise convs, the 6-branch ASPP + projection, the conv head, and both
+    nearest/trilinear x2 upsamplings."""
+    ref = import_ref("models.seg_cnn")
+    from fissure_segmentation_tpu.models import MobileNetASPP
+
+    torch.manual_seed(2)
+    tm = ref.MobileNetASPP(num_classes=3, patch_size=(16, 16, 16))
+    _randomize_bn_buffers(tm, rng)
+    variables = _assemble_mobilenet(tm)
 
     x = rng.normal(size=(1, 16, 16, 16, 1)).astype("f4")
     jm = MobileNetASPP(num_classes=3, patch_size=(16, 16, 16))
@@ -318,6 +322,57 @@ def test_dgcnn_seg_gradients_match_reference(rng):
     for key in flat_t:
         np.testing.assert_allclose(
             np.asarray(flat_j[key]), flat_t[key], rtol=1e-3, atol=1e-5,
+            err_msg=key)
+
+
+def test_mobilenet_aspp_gradients_match_reference(rng):
+    """Backward parity for the voxel CNN: pins conv3d / grouped-depthwise /
+    dilated-conv gradients and the nearest+trilinear resize backwards."""
+    import copy
+
+    ref = import_ref("models.seg_cnn")
+    from fissure_segmentation_tpu.models import MobileNetASPP
+
+    torch.manual_seed(7)
+    tm = ref.MobileNetASPP(num_classes=3, patch_size=(16, 16, 16))
+    _randomize_bn_buffers(tm, rng)
+
+    variables = _assemble_mobilenet(tm)
+    x = rng.normal(size=(1, 16, 16, 16, 1)).astype("f4")
+    w = rng.normal(size=(1, 16, 16, 16, 3)).astype("f4")
+
+    tm.eval()
+    xt = torch.from_numpy(x.transpose(0, 4, 1, 2, 3))
+    xt.requires_grad_(True)  # torch checkpoint needs a grad-requiring input
+    out_t = tm(xt)
+    loss_t = (out_t * torch.from_numpy(w.transpose(0, 4, 1, 2, 3))).mean()
+    loss_t.backward()
+    clone = copy.deepcopy(tm)
+    for pc, p in zip(clone.parameters(), tm.parameters()):
+        pc.data = p.grad if p.grad is not None else torch.zeros_like(p)
+    grads_t = _assemble_mobilenet(clone)["params"]
+
+    jm = MobileNetASPP(num_classes=3, patch_size=(16, 16, 16))
+
+    def loss_j(params):
+        out = jm.apply({"params": params,
+                        "batch_stats": variables["batch_stats"]},
+                       jnp.asarray(x), train=False)
+        return jnp.mean(out * jnp.asarray(w))
+
+    with jax.default_matmul_precision("float32"):
+        loss_val, grads_j = jax.value_and_grad(loss_j)(variables["params"])
+
+    np.testing.assert_allclose(float(loss_val), float(loss_t.detach()),
+                               rtol=1e-4)
+    flat_t = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_flatten_with_path(grads_t)[0]}
+    flat_j = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_flatten_with_path(grads_j)[0]}
+    assert flat_t.keys() == flat_j.keys()
+    for key in flat_t:
+        np.testing.assert_allclose(
+            np.asarray(flat_j[key]), flat_t[key], rtol=1e-3, atol=1e-4,
             err_msg=key)
 
 
