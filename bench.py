@@ -359,5 +359,31 @@ def main():
     }))
 
 
+def _probe_backend(timeout_s: int = 300):
+    """Fail fast if the device backend is unreachable.
+
+    The axon TPU tunnel can go down and then the first device touch blocks
+    FOREVER in uninterruptible iowait (no error, and SIGALRM never fires
+    because the hang is inside backend init in C). Probe in a subprocess
+    bounded by a hard timeout so a dead tunnel yields a clear error instead
+    of a silent hang."""
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp; "
+            "jnp.ones((8, 8)).sum().block_until_ready(); print('ok')")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              timeout=timeout_s, capture_output=True)
+    except subprocess.TimeoutExpired:
+        raise TimeoutError(
+            f"device backend unreachable after {timeout_s}s "
+            "(TPU tunnel down?) — bench aborted") from None
+    if proc.returncode != 0:
+        raise RuntimeError("device backend probe failed:\n"
+                           + proc.stderr.decode(errors="replace")[-2000:])
+
+
 if __name__ == "__main__":
+    _probe_backend()
     main()
