@@ -376,6 +376,73 @@ def test_mobilenet_aspp_gradients_match_reference(rng):
             err_msg=key)
 
 
+def test_point_transformer_layer_matches_reference(rng):
+    """Vector self-attention golden parity (seg_model.py:17-53), the core of
+    the one CUDA-bound reference model. The CUDA `pointops.queryandgroup` is
+    replaced by an equivalent pure-torch shim (sorted kNN gather, relative
+    xyz) so the reference layer runs on CPU; q/k/v projections, positional
+    encoding MLP, the share_planes-grouped weight MLP, neighbor-axis softmax
+    and the grouped weighted sum are then compared against our layer."""
+    ref = import_ref("models.pointtransformer.seg_model")
+    from fissure_segmentation_tpu.models.point_transformer import \
+        PointTransformerLayer
+
+    def queryandgroup(nsample, xyz, new_xyz, feat, idx, offset, new_offset,
+                      use_xyz=True):
+        d = torch.cdist(new_xyz, xyz)
+        nn_idx = d.topk(nsample, largest=False).indices  # (m, ns) ascending
+        grouped_xyz = xyz[nn_idx] - new_xyz.unsqueeze(1)
+        grouped_feat = feat[nn_idx]
+        if use_xyz:
+            return torch.cat([grouped_xyz, grouped_feat], -1)
+        return grouped_feat
+
+    ref.pointops.queryandgroup = queryandgroup
+
+    torch.manual_seed(8)
+    c, s, ns, n = 16, 8, 4, 32
+    tm = ref.PointTransformerLayer(in_planes=c, out_planes=c,
+                                   share_planes=s, nsample=ns)
+    _randomize_bn_buffers(tm, rng)
+
+    def lin(m):
+        d = {"kernel": t2n(m.weight).T.copy()}
+        if m.bias is not None:
+            d["bias"] = t2n(m.bias).copy()
+        return d
+
+    p0, s0 = _bn(tm.linear_p[1])
+    p1, s1 = _bn(tm.linear_w[0])
+    p2, s2 = _bn(tm.linear_w[3])
+    variables = {
+        "params": {"Dense_0": lin(tm.linear_q), "Dense_1": lin(tm.linear_k),
+                   "Dense_2": lin(tm.linear_v),
+                   "Dense_3": lin(tm.linear_p[0]), "BatchNorm_0": p0,
+                   "Dense_4": lin(tm.linear_p[3]),
+                   "BatchNorm_1": p1, "Dense_5": lin(tm.linear_w[2]),
+                   "BatchNorm_2": p2, "Dense_6": lin(tm.linear_w[5])},
+        "batch_stats": {"BatchNorm_0": s0, "BatchNorm_1": s1,
+                        "BatchNorm_2": s2},
+    }
+
+    p = rng.normal(size=(n, 3)).astype("f4")
+    x = rng.normal(size=(n, c)).astype("f4")
+
+    tm.eval()
+    with torch.no_grad():
+        out_t = t2n(tm([torch.from_numpy(p), torch.from_numpy(x),
+                        torch.tensor([n])]))
+
+    jm = PointTransformerLayer(out_planes=c, share_planes=s, nsample=ns)
+    init_vars = jm.init(jax.random.PRNGKey(0), jnp.asarray(p[None]),
+                        jnp.asarray(x[None]), train=False)
+    assert _tree_paths(init_vars) == _tree_paths(variables)
+    with jax.default_matmul_precision("float32"):
+        out_j = np.asarray(jm.apply(variables, jnp.asarray(p[None]),
+                                    jnp.asarray(x[None]), train=False))[0]
+    np.testing.assert_allclose(out_j, out_t, rtol=2e-4, atol=2e-4)
+
+
 def _mlp_block(block):
     """Reference MLPBlock (point_net.py:11-30: [conv,bn,lrelu]*n) -> our
     MLPStack {SharedMLP_i: {Dense_0, BatchNorm_0}}."""
