@@ -645,20 +645,9 @@ def test_pointnet_seg_forward_matches_reference(rng):
                                rtol=2e-4, atol=2e-4)
 
 
-def test_dgcnn_cls_forward_matches_reference(rng):
-    """cls-DGCNN (DGSSM backbone) full-forward parity
-    (dgcnn_opensrc.py:101-172): 4 EdgeConvs, emb conv, global max+avg
-    pooling, and the 3-layer FC head."""
-    from types import SimpleNamespace
-    ref = import_ref("models.dgcnn_opensrc")
-    from fissure_segmentation_tpu.models import DGCNNCls
-
-    torch.manual_seed(4)
-    emb = 32
-    args = SimpleNamespace(k=6, emb_dims=emb, dropout=0.0, static=True)
-    tm = ref.DGCNN(args, input_channels=3, output_channels=5)
-    _randomize_bn_buffers(tm, rng)
-
+def _dgcnn_cls_params(tm):
+    """Reference open-source DGCNN (dgcnn_opensrc.py:101-172) -> our
+    DGCNNCls variables tree."""
     params, stats = {}, {}
     for j, conv in enumerate([tm.conv1, tm.conv2, tm.conv3, tm.conv4]):
         p, s = _bn(conv[1])
@@ -679,6 +668,23 @@ def test_dgcnn_cls_forward_matches_reference(rng):
             p, s = _bn(bn)
             params[f"BatchNorm_{j}"] = p
             stats[f"BatchNorm_{j}"] = s
+    return params, stats
+
+
+def test_dgcnn_cls_forward_matches_reference(rng):
+    """cls-DGCNN (DGSSM backbone) full-forward parity
+    (dgcnn_opensrc.py:101-172): 4 EdgeConvs, emb conv, global max+avg
+    pooling, and the 3-layer FC head."""
+    from types import SimpleNamespace
+    ref = import_ref("models.dgcnn_opensrc")
+    from fissure_segmentation_tpu.models import DGCNNCls
+
+    torch.manual_seed(4)
+    emb = 32
+    args = SimpleNamespace(k=6, emb_dims=emb, dropout=0.0, static=True)
+    tm = ref.DGCNN(args, input_channels=3, output_channels=5)
+    _randomize_bn_buffers(tm, rng)
+    params, stats = _dgcnn_cls_params(tm)
     variables = {"params": params, "batch_stats": stats}
 
     x = rng.normal(size=(2, 48, 3)).astype("f4")
@@ -693,6 +699,77 @@ def test_dgcnn_cls_forward_matches_reference(rng):
         out_j, _ = jm.apply(variables, jnp.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(out_j), out_t[..., 0],
                                rtol=2e-4, atol=2e-4)
+
+
+def test_dgssm_forward_matches_reference(rng):
+    """DG-SSM full-forward parity (dg_ssm.py:91-141) without the affine
+    transform (its pytorch3d `compose_transform` can't run under the stubbed
+    wheel; the coefficients -> eigenvalue-scaled weights -> SSM decode chain
+    and all three regression heads' weights are still exercised): fit the
+    reference SSM, copy its modes + the MultiHeadDGCNN weights, and match
+    reconstruction and predicted weights."""
+    ref = import_ref("models.dg_ssm")
+    from fissure_segmentation_tpu.models import DGSSM
+    from fissure_segmentation_tpu.shape_model.ssm import SSMParams
+
+    torch.manual_seed(10)
+    tm = ref.DGSSM(k=6, in_features=3, dynamic=False,
+                   predict_affine_params=False)
+    base = torch.from_numpy(rng.normal(size=(1, 64, 3)).astype("f4"))
+    shapes = base + 0.1 * torch.from_numpy(
+        rng.normal(size=(10, 64, 3)).astype("f4"))
+    tm.fit_ssm(shapes)          # re-inits the DGCNN incl. the modes head
+    _randomize_bn_buffers(tm, rng)
+    modes = int(tm.ssm.num_modes)
+
+    cls_p, cls_s = _dgcnn_cls_params(tm.dgcnn)
+    mh_p = {"DGCNNCls_0": cls_p}
+    mh_s = {"DGCNNCls_0": cls_s}
+    for name in ("translation", "rotation", "scaling"):
+        head = tm.dgcnn.heads[name]
+        hp, hs = {}, {}
+        lins = [m for m in head.layers
+                if isinstance(m, torch.nn.Linear)]
+        bns = [m for m in head.layers
+               if isinstance(m, torch.nn.BatchNorm1d)]
+        for j, m in enumerate(lins):
+            d = {"kernel": t2n(m.weight).T.copy()}
+            if m.bias is not None:
+                d["bias"] = t2n(m.bias).copy()
+            hp[f"Dense_{j}"] = d
+        for j, m in enumerate(bns):
+            p, s = _bn(m)
+            hp[f"BatchNorm_{j}"] = p
+            hs[f"BatchNorm_{j}"] = s
+        mh_p[f"head_{name}"] = hp
+        mh_s[f"head_{name}"] = hs
+    variables = {"params": {"MultiHeadDGCNN_0": mh_p},
+                 "batch_stats": {"MultiHeadDGCNN_0": mh_s}}
+
+    ssm = SSMParams(mean_shape=jnp.asarray(t2n(tm.ssm.mean_shape)),
+                    eigenvalues=jnp.asarray(t2n(tm.ssm.eigenvalues)),
+                    eigenvectors=jnp.asarray(t2n(tm.ssm.eigenvectors)))
+    assert ssm.num_modes == modes
+
+    x = rng.normal(size=(2, 48, 3)).astype("f4")
+    tm.eval()
+    with torch.no_grad():
+        rec_t, w_t, aff_t = tm(torch.from_numpy(x.transpose(0, 2, 1)))
+
+    jm = DGSSM(k=6, in_features=3, ssm_modes=modes, dynamic=False,
+               predict_affine_params=False)
+    init_vars = jm.init(jax.random.PRNGKey(0), jnp.asarray(x), ssm,
+                        train=False)
+    assert _tree_paths(init_vars) == _tree_paths(variables)
+    with jax.default_matmul_precision("float32"):
+        rec_j, w_j, aff_j = jm.apply(variables, jnp.asarray(x), ssm,
+                                     train=False)
+    np.testing.assert_allclose(np.asarray(w_j), t2n(w_t), rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(rec_j),
+                               t2n(rec_t).transpose(0, 2, 1),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(aff_j), t2n(aff_t), atol=1e-7)
 
 
 def test_dgcnn_reg_forward_matches_reference(rng):
