@@ -66,11 +66,23 @@ def thin_plate_dense(x1, y1, shape, step: int = 4, lambd: float = 0.0):
                               jnp.linspace(-1, 1, w1), indexing="ij")
     x2 = jnp.stack([xx, yy, zz], -1).reshape(-1, 3)
     theta = TPS.fit(x1[0], y1[0], lambd)
-    y2 = TPS.z(x2, x1[0], theta).reshape(1, d1, h1, w1, 3)
-    # trilinear upsample, align_corners=True
-    up = jax.vmap(lambda ch: jax.image.resize(ch, (d, h, w), "trilinear"),
-                  in_axes=-1, out_axes=-1)(y2[0])
-    return up[None]
+    y2 = TPS.z(x2, x1[0], theta).reshape(d1, h1, w1, 3)
+    # trilinear upsample with align_corners=True (F.interpolate semantics,
+    # point_cloud_registration.py:88): output i samples input
+    # i*(n_in-1)/(n_out-1) — NOT jax.image.resize's half-pixel convention
+    return _upsample_linear_corners(y2, (d, h, w))[None]
+
+
+def _upsample_linear_corners(vol: jnp.ndarray, out_shape) -> jnp.ndarray:
+    """(D1, H1, W1, C) -> (*out_shape, C) linear resize, align_corners=True."""
+    ins = vol.shape[:3]
+    axes = [jnp.linspace(0.0, n_in - 1.0, n_out) if n_out > 1
+            else jnp.zeros((1,))
+            for n_in, n_out in zip(ins, out_shape)]
+    grids = jnp.meshgrid(*axes, indexing="ij")
+    return jax.vmap(
+        lambda ch: jax.scipy.ndimage.map_coordinates(ch, list(grids), order=1),
+        in_axes=-1, out_axes=-1)(vol)
 
 
 # ------------------------------ CPD ------------------------------

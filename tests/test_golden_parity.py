@@ -366,3 +366,36 @@ def test_grid_sample_volume_matches_torch(rng):
         mode="bilinear", padding_mode="zeros",
         align_corners=False).squeeze().numpy()                  # (2, 50)
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_tps_and_thin_plate_dense_match_reference(rng):
+    """TPS radial-basis fit/eval and the dense displacement field
+    (point_cloud_registration.py:24-90), incl. the align_corners=True
+    trilinear upsample semantics of the final F.interpolate."""
+    ref = import_ref("shape_model.point_cloud_registration")
+    from fissure_segmentation_tpu.shape_model.registration import (
+        TPS, thin_plate_dense)
+
+    c = rng.uniform(-0.9, 0.9, (24, 3)).astype(np.float32)
+    f = rng.normal(size=(24, 3)).astype(np.float32) * 0.1
+
+    theta_t = ref.TPS.fit(torch.from_numpy(c), torch.from_numpy(f), lambd=0.1)
+    x = rng.uniform(-1, 1, (40, 3)).astype(np.float32)
+    z_t = ref.TPS.z(torch.from_numpy(x), torch.from_numpy(c), theta_t)
+
+    with jax.default_matmul_precision("float32"):
+        theta_j = TPS.fit(jnp.asarray(c), jnp.asarray(f), lambd=0.1)
+        z_j = TPS.z(jnp.asarray(x), jnp.asarray(c), theta_j)
+    np.testing.assert_allclose(np.asarray(theta_j), t2n(theta_t),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(z_j), t2n(z_t), rtol=1e-3,
+                               atol=1e-4)
+
+    field_t = ref.thin_plate_dense(torch.from_numpy(c[None]),
+                                   torch.from_numpy(f[None]),
+                                   shape=(16, 20, 24), step=4, lambd=0.1)
+    with jax.default_matmul_precision("float32"):
+        field_j = thin_plate_dense(jnp.asarray(c[None]), jnp.asarray(f[None]),
+                                   (16, 20, 24), step=4, lambd=0.1)
+    np.testing.assert_allclose(np.asarray(field_j), t2n(field_t),
+                               rtol=1e-3, atol=1e-4)
