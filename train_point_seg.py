@@ -110,6 +110,18 @@ def run(args):
     model = build_model(args, ds)
     loss_fn = get_loss_fn(args.loss, jnp.asarray(ds.get_class_weights()))
 
+    if not args.test_only and not args.copd:
+        # op_count.csv artifact (reference train.py:661 via thesis/utils.py)
+        from fissure_segmentation_tpu.utils.profiling import param_and_op_count
+        pc, _ = ds.get_full_pointcloud(0)
+        x0 = jnp.asarray(pc[:args.pts])[None]
+        variables0 = model.init(jax.random.PRNGKey(0), x0, train=False)
+        counts = param_and_op_count(
+            lambda v, x: model.apply(v, x, train=False), (variables0, x0),
+            variables=variables0["params"], out_dir=args.output)
+        print(f"model: {counts['params']:,} params, "
+              f"{counts['flops'] / 1e9:.2f} GFLOP / fwd batch-1")
+
     if args.split:
         split = load_split_file(args.split)
     else:

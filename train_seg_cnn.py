@@ -76,6 +76,18 @@ def run(args):
     model = cls(num_classes=ds.num_classes, patch_size=(args.patch_size,) * 3)
     loss_fn = get_loss_fn(args.loss, jnp.asarray(ds.get_class_weights()))
 
+    if not args.test_only:
+        # op_count.csv artifact (reference train_segmentation_net.py:217-229,
+        # incl. the patch-wrapper FLOPs: counted at one full patch)
+        from fissure_segmentation_tpu.utils.profiling import param_and_op_count
+        x0 = jnp.zeros((1, *model.patch_size, 1), jnp.float32)
+        variables0 = model.init(jax.random.PRNGKey(0), x0, train=False)
+        counts = param_and_op_count(
+            lambda v, x: model.apply(v, x, train=False), (variables0, x0),
+            variables=variables0["params"], out_dir=args.output)
+        print(f"model: {counts['params']:,} params, "
+              f"{counts['flops'] / 1e9:.2f} GFLOP / patch")
+
     case_ids = [list(i) for i in ds.ids]
     split = load_split_file(args.split) if args.split else create_split(case_ids, k=5)
     save_split_file(split, os.path.join(args.output, "cross_val_split.json"))
