@@ -111,6 +111,17 @@ def run(args):
                             static=args.static, dec_depth=args.dec_depth)
     loss_fn = make_loss(args, model)
 
+    if not args.test_only:
+        # op_count.csv artifact (reference train_pc_ae.py via thesis/utils.py)
+        from fissure_segmentation_tpu.utils.profiling import param_and_op_count
+        x0 = jnp.zeros((1, args.pts, 3), jnp.float32)
+        variables0 = model.init(jax.random.PRNGKey(0), x0, train=False)
+        counts = param_and_op_count(
+            lambda v, x: model.apply(v, x, train=False), (variables0, x0),
+            variables=variables0["params"], out_dir=args.output)
+        print(f"model: {counts['params']:,} params, "
+              f"{counts['flops'] / 1e9:.2f} GFLOP / fwd batch-1")
+
     case_ids = [list(i) for i in ds.ids]
     split = load_split_file(args.split) if args.split else \
         create_split(case_ids, k=5)
