@@ -372,16 +372,23 @@ def _probe_backend(timeout_s: int = 300):
 
     code = ("import jax, jax.numpy as jnp; "
             "jnp.ones((8, 8)).sum().block_until_ready(); print('ok')")
-    try:
-        proc = subprocess.run([sys.executable, "-c", code],
-                              timeout=timeout_s, capture_output=True)
-    except subprocess.TimeoutExpired:
-        raise TimeoutError(
-            f"device backend unreachable after {timeout_s}s "
-            "(TPU tunnel down?) — bench aborted") from None
+    # NOT subprocess.run(timeout=...): on expiry it kill()s then wait()s, and
+    # a child stuck in uninterruptible D-state iowait never dies, so wait()
+    # would hang forever. Poll a deadline and abandon the corpse instead.
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.PIPE)
+    deadline = time.monotonic() + timeout_s
+    while proc.poll() is None:
+        if time.monotonic() > deadline:
+            proc.kill()  # best effort; do NOT wait on it
+            raise TimeoutError(
+                f"device backend unreachable after {timeout_s}s "
+                "(TPU tunnel down?) — bench aborted")
+        time.sleep(1.0)
     if proc.returncode != 0:
         raise RuntimeError("device backend probe failed:\n"
-                           + proc.stderr.decode(errors="replace")[-2000:])
+                           + proc.stderr.read().decode(errors="replace")[-2000:])
 
 
 if __name__ == "__main__":

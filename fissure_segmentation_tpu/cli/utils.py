@@ -41,6 +41,11 @@ def load_args_for_testing(from_dir: str, current_args: Namespace | None = None):
     if args_from_file is not None and current_args is not None:
         for key in TEST_TIME_OVERRIDES:
             args_from_file[key] = getattr(current_args, key)
+        # environment path, not a model hyperparameter: an explicitly passed
+        # --data_dir wins at test time (e.g. COPD cases live elsewhere than
+        # the training set); absent, the stored training path is kept
+        if getattr(current_args, "data_dir", None) is not None:
+            args_from_file["data_dir"] = current_args.data_dir
         for key in current_args.__dict__:
             if key not in args_from_file:
                 args_from_file[key] = getattr(current_args, key)

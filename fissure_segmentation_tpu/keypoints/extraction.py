@@ -107,9 +107,16 @@ def compute_keypoints(rng: jax.Array, img: np.ndarray | None,
                       cnn_softmax: np.ndarray | None = None,
                       lobes: np.ndarray | None = None,
                       case_id: str = "case", sequence: str = "fixed",
-                      max_kpts: int = MAX_KPTS, dilate_labels: int = 2) -> dict:
+                      max_kpts: int = MAX_KPTS, dilate_labels: int = 2,
+                      feature_mode: str | None = None) -> dict:
     """Full keypoint pipeline for one (unit-spacing) case -> case dict
     (keypoint_extraction.py:154-234). Inputs are (D, H, W) arrays.
+
+    :param feature_mode: optional per-point features to attach
+        (point_features.py:153-208): 'mind' / 'mind_ssc' / 'image' /
+        'enhancement'. Overrides the cnn mode's softmax-patch features.
+        The chosen kp/feature combination is recorded in the case dict so
+        training can validate it against the requested flags.
     """
     shape = fissures.shape
     fiss = jnp.asarray(np.asarray(fissures).astype(np.int32))
@@ -155,9 +162,25 @@ def compute_keypoints(rng: jax.Array, img: np.ndarray | None,
 
     labels = np.asarray(fiss)[kp[:, 0], kp[:, 1], kp[:, 2]]
     coords = np.asarray(kpts_to_grid(kp[:, ::-1].astype(np.float32), shape))
+
+    if feature_mode is not None:
+        from .features import compute_point_features
+        if img is None:
+            raise ValueError(f"feature mode '{feature_mode}' needs an image")
+        enh = enhanced_img
+        if feature_mode == "enhancement" and enh is None:
+            enh = hessian_fissure_enhancement(
+                jnp.asarray(img), fissure_mu=-313.5, fissure_sigma=62.6)
+        feats = np.asarray(compute_point_features(
+            jnp.asarray(img), jnp.asarray(coords), feature_mode,
+            enhanced_img=None if enh is None else jnp.asarray(enh)))
+
     case = {"coords": coords, "labels": labels.astype(np.int32),
             "shape": tuple(shape), "spacing": (1.0, 1.0, 1.0),
-            "case_id": case_id, "sequence": sequence}
+            "case_id": case_id, "sequence": sequence,
+            "kp_mode": kp_mode,
+            "feature_mode": feature_mode or
+            ("cnn" if kp_mode == "cnn" else None)}
     if lobes is not None:
         case["lobes"] = np.asarray(lobes)[kp[:, 0], kp[:, 1], kp[:, 2]].astype(np.int32)
     if feats is not None:

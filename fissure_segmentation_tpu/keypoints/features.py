@@ -108,7 +108,7 @@ def compute_point_features(img: jnp.ndarray, kpts_grid: jnp.ndarray,
 
     :param img: (D, H, W) CT volume at unit spacing
     :param kpts_grid: (N, 3) xyz grid coords
-    :return: (N, F) features — 12 (mind/mind_ssc) or 125 (5^3 patches)
+    :return: (N, F) features — 6 (mind), 12 (mind_ssc) or 125 (5^3 patches)
     """
     if feature_mode in ("mind", "mind_ssc"):
         desc = mind(img, dilation=1, sigma=0.8, ssc=feature_mode == "mind_ssc")

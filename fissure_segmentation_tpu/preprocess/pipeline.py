@@ -95,6 +95,7 @@ def label_pipeline_case(img: np.ndarray, fissures: np.ndarray,
                         kp_mode: str = "foerstner", compute_points: bool = True,
                         spacing=(1.0, 1.0, 1.0),
                         cnn_model_path: str | None = None,
+                        feature_mode: str | None = None,
                         **fit_kwargs) -> dict:
     """The reference's 4-step per-case label pipeline
     (label_preprocessing_pipeline.py:17-52):
@@ -151,5 +152,5 @@ def label_pipeline_case(img: np.ndarray, fissures: np.ndarray,
         out["points"] = compute_keypoints(
             jax.random.PRNGKey(0), img, regularized, lung_mask,
             kp_mode=kp_mode, lobes=lobes, case_id=case, sequence=sequence,
-            cnn_softmax=cnn_softmax)
+            cnn_softmax=cnn_softmax, feature_mode=feature_mode)
     return out

@@ -74,15 +74,25 @@ def thin_plate_dense(x1, y1, shape, step: int = 4, lambd: float = 0.0):
 
 
 def _upsample_linear_corners(vol: jnp.ndarray, out_shape) -> jnp.ndarray:
-    """(D1, H1, W1, C) -> (*out_shape, C) linear resize, align_corners=True."""
-    ins = vol.shape[:3]
-    axes = [jnp.linspace(0.0, n_in - 1.0, n_out) if n_out > 1
-            else jnp.zeros((1,))
-            for n_in, n_out in zip(ins, out_shape)]
-    grids = jnp.meshgrid(*axes, indexing="ij")
-    return jax.vmap(
-        lambda ch: jax.scipy.ndimage.map_coordinates(ch, list(grids), order=1),
-        in_axes=-1, out_axes=-1)(vol)
+    """(D1, H1, W1, C) -> (*out_shape, C) linear resize, align_corners=True.
+
+    Separable: three 1-D interpolation passes (two gathers + a lerp each)
+    instead of a dense 3-D map_coordinates, which would materialize three
+    full-resolution coordinate grids (~200 MB at 256^3)."""
+    for axis, n_out in enumerate(out_shape):
+        n_in = vol.shape[axis]
+        if n_in == n_out:
+            continue
+        if n_in == 1 or n_out == 1:
+            idx = jnp.zeros((n_out,), jnp.int32)
+            vol = jnp.take(vol, idx, axis=axis)
+            continue
+        pos = jnp.linspace(0.0, n_in - 1.0, n_out)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
+        w = (pos - lo).reshape([-1 if a == axis else 1 for a in range(vol.ndim)])
+        vol = (jnp.take(vol, lo, axis=axis) * (1.0 - w)
+               + jnp.take(vol, lo + 1, axis=axis) * w)
+    return vol
 
 
 # ------------------------------ CPD ------------------------------

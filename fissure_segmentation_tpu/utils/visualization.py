@@ -141,7 +141,7 @@ def visualize_with_overlay(image: np.ndarray, segmentation: np.ndarray,
     for lbl in np.unique(seg):
         if lbl == 0:
             continue
-        color = (colors[int(lbl) - 1] if colors is not None
+        color = (colors[(int(lbl) - 1) % len(colors)] if colors is not None
                  else color_for_label(lbl))
         overlay[seg == lbl] = to_rgba(color, alpha)
     ax.imshow(overlay, aspect=aspect)

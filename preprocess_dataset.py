@@ -23,7 +23,8 @@ import numpy as np
 
 def process_case(img, lobes, spacing, out_dir: str, case: str,
                  sequence: str = "fixed", kp_mode: str = "foerstner",
-                 cnn_model_path: str | None = None):
+                 cnn_model_path: str | None = None,
+                 feature_mode: str | None = None):
     from fissure_segmentation_tpu.preprocess.labels import \
         binary_lung_mask_to_left_right
     from fissure_segmentation_tpu.preprocess.pipeline import (
@@ -41,7 +42,8 @@ def process_case(img, lobes, spacing, out_dir: str, case: str,
     out = label_pipeline_case(pre["image"], pre["fissures"],
                               pre["lung_mask"], out_dir, case, sequence,
                               kp_mode=kp_mode, spacing=spacing,
-                              cnn_model_path=cnn_model_path)
+                              cnn_model_path=cnn_model_path,
+                              feature_mode=feature_mode)
     if out.get("points") is not None:
         from fissure_segmentation_tpu.data.dataset import save_case_npz
         save_case_npz(out["points"], out_dir)
@@ -100,6 +102,12 @@ def main(argv=None):
     parser.add_argument("--synthetic", type=int, default=0,
                         help="generate N synthetic demo cases instead")
     parser.add_argument("--kp_mode", default="foerstner")
+    parser.add_argument("--feature", default=None,
+                        choices=["mind", "mind_ssc", "image", "enhancement"],
+                        help="per-point features to attach to the point "
+                             "files (reference point_features.py:153-208); "
+                             "default: none (cnn kp_mode keeps its "
+                             "softmax-patch features)")
     parser.add_argument("--cnn_model", default=None,
                         help="trained seg-CNN checkpoint (.fst) for "
                              "kp_mode=cnn (e.g. seg_cnn_out/fold0/model.fst)")
@@ -124,7 +132,8 @@ def main(argv=None):
             img = case["image"] * 1000.0
             process_case(img, case["lobes"], case["spacing"], args.output,
                          case["case_id"], args.sequence, args.kp_mode,
-                         cnn_model_path=args.cnn_model)
+                         cnn_model_path=args.cnn_model,
+                         feature_mode=args.feature)
             print(f"processed {case['case_id']}")
         return
     if not args.data_dir:
@@ -136,7 +145,8 @@ def main(argv=None):
             lobes = z["lobes"]
             spacing = z["spacing"] if "spacing" in z else (1.0, 1.0, 1.0)
         process_case(img, lobes, spacing, args.output, case, args.sequence,
-                     args.kp_mode, cnn_model_path=args.cnn_model)
+                     args.kp_mode, cnn_model_path=args.cnn_model,
+                     feature_mode=args.feature)
         print(f"processed {case}")
 
 

@@ -112,8 +112,12 @@ def fissure_window_level(img: np.ndarray, mask: np.ndarray | None = None,
 
 def crop_to_lung_indices(img: np.ndarray):
     """Tight bounding slices of the non-max (in-lung) region
-    (reference qualitative.py:43-46)."""
+    (reference qualitative.py:43-46). Meaningful after fissure_window_level
+    with a mask set out-of-lung voxels to the image maximum; a constant
+    image yields full-range slices instead of crashing."""
     nz = np.nonzero(img != img.max())
+    if any(len(d) == 0 for d in nz):
+        return tuple(slice(0, s) for s in img.shape)
     return tuple(slice(int(d.min()), int(d.max()) + 1) for d in nz)
 
 
@@ -155,13 +159,19 @@ def multi_class_overlay(img: np.ndarray, label_map: np.ndarray,
                         model_name: str, patid: str, slices,
                         slice_dim: int = 2, out_dir: str = ".",
                         spacing=None, alpha: float = 0.5,
-                        class_names=("LOF", "ROF", "RHF")):
-    """Per-class fissure overlays on lung-cropped slices
-    (reference qualitative.py:85-126)."""
+                        class_names=("LOF", "ROF", "RHF"),
+                        mask: np.ndarray | None = None,
+                        low: float = -1024, high: float = -600):
+    """Per-class fissure overlays on lung-cropped, fissure-windowed slices
+    (reference qualitative.py:85-126). With `mask`, out-of-lung voxels are
+    set just above the window (fissure_window_level) which is also what
+    makes the subsequent lung crop tight."""
     import matplotlib.pyplot as plt
     from fissure_segmentation_tpu.utils.visualization import (
         legend_figure, visualize_with_overlay)
 
+    if mask is not None:
+        img = fissure_window_level(img, mask, low=low, high=high)
     crop = crop_to_lung_indices(img)
     img_c = img[crop]
     lab_c = np.asarray(label_map)[crop]
@@ -232,9 +242,14 @@ def main(argv=None):
                          "PointNet": np.roll(labels != 0, 2, axis=0)},
                         slices[len(slices) // 2], slice_dim=0,
                         out_dir=args.output, patid="synthetic")
-    multi_class_overlay(np.asarray(case["image"]), labels, "DGCNN",
+    # HU-like rescale (preprocess_dataset.py does img*1000 for synthetic)
+    # synthetic lungs sit around -600 "HU" with +350 fissure sheets, so a
+    # wider window than the real-CT default keeps the structure visible
+    multi_class_overlay(np.asarray(case["image"]) * 1000.0, labels, "DGCNN",
                         "synthetic", slices, slice_dim=0,
-                        out_dir=args.output)
+                        out_dir=args.output,
+                        mask=np.asarray(case["lung_mask"]),
+                        low=-1100, high=-100)
 
     plot_lr_schedules(args.output)
     print(f"wrote figures to {args.output}")

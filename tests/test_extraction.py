@@ -59,3 +59,31 @@ def test_cnn_mode():
                              dilate_labels=1)
     assert case["features"].shape == (len(case["coords"]), 2 * 125)
     assert (case["labels"] == 1).mean() > 0.8
+
+
+def test_feature_modes_attach_features():
+    """feature_mode wires point_features.py:153-208 into the pipeline and
+    records kp/feature provenance in the case dict."""
+    img, fissures, mask = _toy_volume(24)
+    for feat, dim in (("mind_ssc", 12), ("mind", 6), ("image", 125)):
+        case = compute_keypoints(jax.random.PRNGKey(0), img, fissures, mask,
+                                 kp_mode="foerstner", max_kpts=500,
+                                 dilate_labels=1, feature_mode=feat)
+        assert case["features"].shape == (len(case["coords"]), dim)
+        assert np.isfinite(case["features"]).all()
+        assert case["kp_mode"] == "foerstner"
+        assert case["feature_mode"] == feat
+
+
+def test_feature_mode_roundtrips_through_npz(tmp_path):
+    from fissure_segmentation_tpu.data.dataset import (load_case_npz,
+                                                       save_case_npz)
+    img, fissures, mask = _toy_volume(24)
+    case = compute_keypoints(jax.random.PRNGKey(0), img, fissures, mask,
+                             kp_mode="foerstner", max_kpts=500,
+                             dilate_labels=1, feature_mode="mind_ssc")
+    path = save_case_npz(case, str(tmp_path))
+    back = load_case_npz(path)
+    assert back["kp_mode"] == "foerstner"
+    assert back["feature_mode"] == "mind_ssc"
+    np.testing.assert_allclose(back["features"], case["features"])

@@ -47,7 +47,24 @@ def build_dataset(args) -> PointDataset:
             return PointDataset(cases, **kwargs)
         cases = make_synthetic_dataset(20, n_points=8000, gt_surfaces=True)
         return PointDataset(cases, **kwargs)
-    return PointDataset.from_folder(args.data_dir, **kwargs)
+    ds = PointDataset.from_folder(args.data_dir, **kwargs)
+    _check_point_file_provenance(ds, args)
+    return ds
+
+
+def _check_point_file_provenance(ds: PointDataset, args) -> None:
+    """A point-file folder holds ONE keypoint/feature combination (set at
+    preprocess time, recorded in the npz meta). --kp_mode/--patch merely
+    label the experiment — warn loudly when they contradict the data so a
+    grid of runs can't silently train the same files under many names."""
+    case = ds.cases[0] if ds.cases else {}
+    for flag, key in (("kp_mode", "kp_mode"), ("patch", "feature_mode")):
+        want = getattr(args, flag, None)
+        have = case.get(key)
+        if want and have is not None and want != have:
+            print(f"WARNING: --{flag}={want} but {args.data_dir} was "
+                  f"preprocessed with {key}={have}; the point files win — "
+                  "re-run preprocess_dataset.py for this combination.")
 
 
 def build_model(args, ds: PointDataset):
@@ -95,7 +112,10 @@ def speed_test(ds: PointDataset, model, variables, out_dir: str,
 
 def run(args):
     os.makedirs(args.output, exist_ok=True)
-    if args.test_only or args.copd:
+    if args.test_only or args.copd or args.speed:
+        # speed runs load the trained config too (reference cli_utils.py
+        # keeps 'speed' in the override whitelist) — a plain store_args here
+        # would clobber the trained run's commandline_args.json
         args = load_args_for_testing(args.output, args)
     else:
         store_args(args, args.output)
@@ -110,7 +130,7 @@ def run(args):
     model = build_model(args, ds)
     loss_fn = get_loss_fn(args.loss, jnp.asarray(ds.get_class_weights()))
 
-    if not args.test_only and not args.copd:
+    if not args.test_only and not args.copd and not args.speed:
         # op_count.csv artifact (reference train.py:661 via thesis/utils.py)
         from fissure_segmentation_tpu.utils.profiling import param_and_op_count
         pc, _ = ds.get_full_pointcloud(0)
