@@ -399,3 +399,21 @@ def test_tps_and_thin_plate_dense_match_reference(rng):
                                    (16, 20, 24), step=4, lambd=0.1)
     np.testing.assert_allclose(np.asarray(field_j), t2n(field_t),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_batch_recall_loss_matches_reference(rng):
+    """BatchRecallLoss (recall_loss.py:9-27): CE weighted by the batch
+    false-negative rate per class, incl. torch's weighted-mean
+    normalization and the binary_recall eps (metrics.py:144-148)."""
+    ref = import_ref("losses.recall_loss")
+    from fissure_segmentation_tpu.losses.segmentation import batch_recall_loss
+
+    logits = rng.normal(size=(3, 4, 50)).astype(np.float32)  # (B, C, N)
+    targets = rng.integers(0, 4, size=(3, 50))
+
+    loss_t = ref.BatchRecallLoss()(torch.from_numpy(logits),
+                                   torch.from_numpy(targets))
+    with jax.default_matmul_precision("float32"):
+        loss_j, _ = batch_recall_loss(
+            jnp.asarray(logits.transpose(0, 2, 1)), jnp.asarray(targets))
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
