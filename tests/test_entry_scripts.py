@@ -189,3 +189,24 @@ def test_qualitative_plots_entry(tmp_path):
     # at least one per-class overlay slice was written
     assert any(f.startswith("DGCNN_synthetic_slice")
                for f in os.listdir(out))
+
+
+def test_compute_fraction_of_fissures_entry(tmp_path):
+    """compute_fraction_of_fissures.py: per-label mm^3/voxel stats CSV
+    (reference compute_fraction_of_fissures.py)."""
+    import csv
+
+    import compute_fraction_of_fissures as cff
+
+    out = str(tmp_path / "sizes.csv")
+    cff.main(["--n_synthetic", "2", "--output", out])
+    with open(out) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 3 and rows[-1]["case"] == "mean"  # 2 cases + mean
+    for row in rows[:-1]:
+        assert float(row["all_mm3"]) > 0
+        assert int(row["total_size_n_vox"]) > 0
+        # sanity: per-label voxels sum to the total fissure count
+        per_label = sum(int(v) for k, v in row.items()
+                        if k.endswith("_n_vox") and k.startswith("fissure_"))
+        assert per_label == int(row["all_n_vox"])
