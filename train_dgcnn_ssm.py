@@ -114,6 +114,22 @@ def run(args):
                       only_affine=args.only_affine,
                       active_heads=("main", "translation", "rotation", "scaling"))
 
+        if not args.test_only and fold == list(folds)[0]:
+            # op_count.csv artifact (reference train_dgcnn_ssm.py via
+            # thesis/utils.py); the mode count is SSM-fit-dependent so it is
+            # written once, for the first trained fold
+            from fissure_segmentation_tpu.utils.profiling import \
+                param_and_op_count
+            x0 = jnp.zeros((1, args.pts, 3), jnp.float32)
+            variables0 = model.init(jax.random.PRNGKey(0), x0, ssm,
+                                    train=False)
+            counts = param_and_op_count(
+                lambda v, x: model.apply(v, x, ssm, train=False),
+                (variables0, x0), variables=variables0["params"],
+                out_dir=args.output)
+            print(f"model: {counts['params']:,} params, "
+                  f"{counts['flops'] / 1e9:.2f} GFLOP / fwd batch-1")
+
         # target SSM weights are computed on-the-fly from the target shape
         # (reference model_trainer.py:164-169)
         def loss_fn(out, y):

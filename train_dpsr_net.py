@@ -91,6 +91,21 @@ def run(args):
     else:
         model = DPSRNet2(normals_smoothing_sigma=args.normals_sigma, **common)
 
+    if not args.test_only:
+        # op_count.csv artifact (reference train_dpsr_net.py via
+        # thesis/utils.py); counts the FULL differentiable path incl. the
+        # spectral PSR + marching tetrahedra at the configured resolution
+        from fissure_segmentation_tpu.utils.profiling import param_and_op_count
+        x0 = jnp.zeros((1, args.pts, ds.n_features), jnp.float32)
+        rng0 = jax.random.PRNGKey(0)
+        variables0 = model.init(rng0, x0, train=False, rng=rng0)
+        counts = param_and_op_count(
+            lambda v, x: model.apply(v, x, train=False, rng=rng0),
+            (variables0, x0), variables=variables0["params"],
+            out_dir=args.output)
+        print(f"model: {counts['params']:,} params, "
+              f"{counts['flops'] / 1e9:.2f} GFLOP / fwd batch-1")
+
     case_ids = [list(i) for i in ds.ids]
     split = load_split_file(args.split) if args.split else create_split(case_ids, k=5)
     save_split_file(split, os.path.join(args.output, "cross_val_split.json"))
