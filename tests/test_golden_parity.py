@@ -417,3 +417,27 @@ def test_batch_recall_loss_matches_reference(rng):
         loss_j, _ = batch_recall_loss(
             jnp.asarray(logits.transpose(0, 2, 1)), jnp.asarray(targets))
     np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+
+
+def test_batch_dice_and_binary_recall_match_reference(rng):
+    """Hard per-class Dice + binary recall/precision (metrics.py:130-153)."""
+    ref = import_ref("metrics")
+    from fissure_segmentation_tpu.metrics import (batch_dice,
+                                                  binary_precision,
+                                                  binary_recall)
+
+    pred = rng.integers(0, 4, size=(3, 11, 13)).astype(np.int64)
+    targ = rng.integers(0, 4, size=(3, 11, 13)).astype(np.int64)
+
+    dice_t = ref.batch_dice(torch.from_numpy(pred), torch.from_numpy(targ), 4)
+    dice_j = batch_dice(jnp.asarray(pred), jnp.asarray(targ), 4)
+    np.testing.assert_allclose(np.asarray(dice_j), t2n(dice_t), rtol=1e-6)
+
+    rec_t = ref.binary_recall(torch.from_numpy(pred), torch.from_numpy(targ))
+    rec_j = binary_recall(jnp.asarray(pred), jnp.asarray(targ))
+    np.testing.assert_allclose(np.asarray(rec_j), t2n(rec_t), rtol=1e-6)
+
+    prc_t = ref.binary_precision(torch.from_numpy(pred),
+                                 torch.from_numpy(targ))
+    prc_j = binary_precision(jnp.asarray(pred), jnp.asarray(targ))
+    np.testing.assert_allclose(np.asarray(prc_j), t2n(prc_t), rtol=1e-6)
