@@ -152,8 +152,10 @@ def main(args):
                 dices.append(np.asarray(d)[1:])
 
         def _nm(x):
-            return np.nanmean(np.asarray(x, float), axis=0), \
-                np.nanstd(np.asarray(x, float), axis=0)
+            a = np.asarray(x, float)
+            # ddof=1: the reference writes torch.std (unbiased) into CSVs
+            return np.nanmean(a, axis=0), \
+                np.nanstd(a, axis=0, ddof=1 if len(a) > 1 else 0)
 
         mean_dice, std_dice = _nm(dices) if dices else (np.full(args.n_fissures, np.nan),) * 2
         mean_assd, std_assd = _nm(assds)

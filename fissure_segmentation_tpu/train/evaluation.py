@@ -252,10 +252,12 @@ def test_pipeline(ds: PointDataset, apply_fn, variables, out_dir: str,
     missing = np.stack([c["missing"] for c in per_case])
 
     mean = lambda a: np.nanmean(a, axis=0)
-    std = lambda a: np.nanstd(a, axis=0)
+    # ddof=1: the reference's nanstd wraps torch.std, which is the UNBIASED
+    # estimator (general_utils.py:359-370); numpy defaults to ddof=0
+    std = lambda a: np.nanstd(a, axis=0, ddof=1)
     suffix = "_copd" if copd else ""          # reference train.py:342,176
     write_results(os.path.join(out_dir, f"test_results{suffix}.csv"),
-                  dices.mean(0), dices.std(0),
+                  dices.mean(0), dices.std(0, ddof=1),
                   mean(metrics["assd"]), std(metrics["assd"]),
                   mean(metrics["sdsd"]), std(metrics["sdsd"]),
                   mean(metrics["hd"]), std(metrics["hd"]),
@@ -327,11 +329,13 @@ def write_speed_results(out_dir, all_inference_times, all_post_proc_times=None,
     total = inf + post
     header = ["Inference", "Inference_std", "Post-Processing",
               "Post-Processing_std", "Total", "Total_std"]
-    row = [inf.mean(), inf.std(), post.mean(), post.std(), total.mean(), total.std()]
+    ddof = 1 if len(inf) > 1 else 0  # torch.std parity (train.py:427-448)
+    row = [inf.mean(), inf.std(ddof=ddof), post.mean(), post.std(ddof=ddof),
+           total.mean(), total.std(ddof=ddof)]
     if points_per_fissure is not None:
         ppf = np.asarray(points_per_fissure, np.float64)
         header += ["Points_per_Fissure", "Points_per_Fissure_std"]
-        row += [ppf.mean(), ppf.std(0).mean()]
+        row += [ppf.mean(), ppf.std(0, ddof=1 if len(ppf) > 1 else 0).mean()]
     with open(os.path.join(out_dir, f"inference_time{suffix}.csv"), "w") as f:
         w = csv.writer(f)
         w.writerow(header)
