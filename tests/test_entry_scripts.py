@@ -210,3 +210,28 @@ def test_compute_fraction_of_fissures_entry(tmp_path):
         per_label = sum(int(v) for k, v in row.items()
                         if k.endswith("_n_vox") and k.startswith("fissure_"))
         assert per_label == int(row["all_n_vox"])
+
+
+@pytest.mark.slow
+def test_speed_entry_loads_trained_args(tmp_path):
+    """--speed loads the trained run's stored args (reference cli_utils.py
+    override whitelist) instead of clobbering commandline_args.json, and
+    writes inference_time.csv."""
+    import json
+
+    import train_point_seg
+    parser = train_point_seg.get_point_segmentation_parser()
+    base = ["--ds", "synthetic", "--output", str(tmp_path), "--epochs", "2",
+            "--batch", "4", "--pts", "128", "--k", "8", "--fold", "0",
+            "--static", "--scheduler", "none", "--coords"]
+    train_point_seg.run(parser.parse_args(base + ["--train_only"]))
+    stored = json.load(open(tmp_path / "commandline_args.json"))
+
+    # speed invocation with DIFFERENT hyperparams: stored config must win
+    # and must NOT be overwritten
+    train_point_seg.run(parser.parse_args(
+        ["--output", str(tmp_path), "--speed", "--pts", "64", "--k", "4"]))
+    assert os.path.exists(tmp_path / "inference_time.csv")
+    after = json.load(open(tmp_path / "commandline_args.json"))
+    assert after["pts"] == stored["pts"] == 128
+    assert after["k"] == stored["k"] == 8
