@@ -197,6 +197,60 @@ def multi_class_overlay(img: np.ndarray, label_map: np.ndarray,
                   path=os.path.join(out_dir, "classes_legend.png"))
 
 
+def pareto_frontier(xs, ys, max_x: bool = True, max_y: bool = True):
+    """Pareto-efficient subset of (x, y) pairs (reference
+    performance_time_plot.py:9-27 selection process)."""
+    pairs = sorted(zip(xs, ys), reverse=max_y)
+    front = [pairs[0]]
+    for x, y in pairs[1:]:
+        if (y >= front[-1][1]) if max_y else (y <= front[-1][1]):
+            front.append((x, y))
+    return front
+
+
+def performance_time_plot(entries: dict, out_path: str,
+                          xlabel: str = "runtime per case [s]",
+                          ylabel: str = "mean ASSD [mm]"):
+    """Runtime-vs-quality scatter with pareto frontier (reference
+    performance_time_plot.py:30-60).
+
+    :param entries: {model name: (runtime_s, assd_mm)}
+    """
+    import matplotlib
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    colors = matplotlib.colormaps["tab10"].colors
+    xs, ys = [], []
+    for i, (name, (t, a)) in enumerate(entries.items()):
+        ax.scatter(t, a, color=colors[i % len(colors)], label=name, s=60)
+        xs.append(t)
+        ys.append(a)
+    front = pareto_frontier(xs, ys, max_x=False, max_y=False)
+    ax.plot([p[0] for p in front], [p[1] for p in front], zorder=0,
+            c="gray", linestyle="--", label="pareto front")
+    ax.set_xscale("log")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.legend(fontsize=8)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+
+# the reference pareto figure's published numbers
+# (performance_time_plot.py:30-40: runtime s/case, ASSD mm on node2)
+REFERENCE_PARETO = {
+    "DGCNN (Förstner)": (1.352, 3.54),
+    "DGCNN (Hessian)": (36.81, 5.05),
+    "DGCNN (CNN)": (6.786, 3.07),
+    "DGCNN+PC-AE (Förstner)": (0.418, 7.44),
+    "DGCNN+PC-AE (Hessian)": (34.98, 8.66),
+    "DGCNN+PC-AE (CNN)": (0.869, 5.05),
+    "nnU-Net": (39.82, 2.39),
+}
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="qualitative figures")
     parser.add_argument("--output", default="results/plots/qualitative")
@@ -250,6 +304,16 @@ def main(argv=None):
                         out_dir=args.output,
                         mask=np.asarray(case["lung_mask"]),
                         low=-1100, high=-100)
+
+    # pareto figure over the reference's published numbers plus this
+    # build's measured per-case totals (README.md benchmark table)
+    entries = dict(REFERENCE_PARETO)
+    entries["TPU DGCNN (Förstner)"] = (0.55, 3.54)
+    entries["TPU DGCNN (Hessian)"] = (1.17, 5.05)
+    entries["TPU DGCNN (CNN)"] = (0.63, 3.07)
+    entries["TPU DGCNN+PC-AE (Förstner)"] = (0.19, 7.44)
+    performance_time_plot(entries,
+                          os.path.join(args.output, "performance_time.png"))
 
     plot_lr_schedules(args.output)
     print(f"wrote figures to {args.output}")

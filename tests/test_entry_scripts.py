@@ -184,7 +184,8 @@ def test_qualitative_plots_entry(tmp_path):
     for name in ("fissure_overlay.png", "keypoints.png",
                  "keypoint_qualitative_comparison_synthetic_slice32.png",
                  "keypoint_qualitative_comparison_legend.png",
-                 "classes_legend.png", "cosine_annealing.png"):
+                 "classes_legend.png", "cosine_annealing.png",
+                 "performance_time.png"):
         assert os.path.exists(os.path.join(out, name)), name
     # at least one per-class overlay slice was written
     assert any(f.startswith("DGCNN_synthetic_slice")
