@@ -181,6 +181,20 @@ def main():
     stage_a_seconds = chained_scalar(one_case, REPS)
     hessian_stage_seconds = chained_scalar(one_case_hessian, 3)
 
+    # ---- exact vs approx_max_k keypoint extraction (detector only):
+    # decides whether the 16.7M-element top-k dominates the Foerstner stage
+    # and whether the approx flag should become the default ----
+    def foerstner_only(approx):
+        def fn(img, rng):
+            kpts, valid, _ = foerstner_keypoints(img, mask,
+                                                 max_kpts=MAX_KPTS,
+                                                 approx_top_k=approx)
+            return kpts, valid, jnp.where(valid, kpts[:, 0], 0)
+        return fn
+
+    foerstner_exact_seconds = chained_scalar(foerstner_only(False), REPS)
+    foerstner_approx_seconds = chained_scalar(foerstner_only(True), REPS)
+
     # ---- device -> host transfer of the inference outputs (timed once;
     # the compute itself is already counted in stage A) ----
     fetch = jax.jit(one_case)
@@ -349,6 +363,10 @@ def main():
                 REFERENCE_PCAE_SECONDS / pcae_case_seconds, 2),
             "stage_seconds": {
                 "foerstner_kpts_plus_ensemble": round(stage_a_seconds, 4),
+                "foerstner_detector_exact_topk": round(
+                    foerstner_exact_seconds, 4),
+                "foerstner_detector_approx_topk": round(
+                    foerstner_approx_seconds, 4),
                 "hessian_kpts_plus_ensemble": round(hessian_stage_seconds, 4),
                 "cnn_full_volume_fwd": round(cnn_window_seconds, 4),
                 "cnn_kpts_plus_ensemble": round(cnn_tail_seconds, 4),
