@@ -671,6 +671,55 @@ def _dgcnn_cls_params(tm):
     return params, stats
 
 
+def test_deforming_decoder_forward_matches_reference(rng):
+    """PC-AE deform variant (folding_net.py:231-288): residual-offset
+    decoder built from SharedFullyConnected stacks, plane grid + z=0."""
+    ref = import_ref("models.folding_net")
+    from fissure_segmentation_tpu.models import DGCNNFoldingNet
+
+    torch.manual_seed(11)
+    emb = 16
+    tm = ref.DGCNNFoldingNet(k=6, n_embedding=emb, shape_type="plane",
+                             n_input_points=2025, decode_mesh=False,
+                             static=True, deform=True, dec_depth=2)
+    _randomize_bn_buffers(tm, rng)
+
+    enc_p, enc_s = {}, {}
+    for j, conv in enumerate([tm.encoder.conv1, tm.encoder.conv2,
+                              tm.encoder.conv3, tm.encoder.conv4]):
+        p, s = _bn(conv[1])
+        enc_p[f"EdgeMLP_{j}"] = {"kernel": _conv_kernel(conv[0]),
+                                 "BatchNorm_0": p}
+        enc_s[f"EdgeMLP_{j}"] = {"BatchNorm_0": s}
+    p, s = _bn(tm.encoder.conv5[1])
+    enc_p["SharedMLP_0"] = {"Dense_0": {"kernel": _conv_kernel(tm.encoder.conv5[0])},
+                            "BatchNorm_0": p}
+    enc_s["SharedMLP_0"] = {"BatchNorm_0": s}
+
+    dec_p, dec_s = {}, {}
+    j = 0
+    for layer in tm.decoder.deforming_layers:
+        for i, sfc in enumerate(layer):
+            last = i == 2
+            pj, sj = _shared_fc(sfc, last=last)
+            dec_p[f"SharedMLP_{j}"] = pj
+            if sj is not None:
+                dec_s[f"SharedMLP_{j}"] = sj
+            j += 1
+    variables = {"params": {"DGCNNClsEncoder_0": enc_p,
+                            "DeformingDecoder_0": dec_p},
+                 "batch_stats": {"DGCNNClsEncoder_0": enc_s,
+                                 "DeformingDecoder_0": dec_s}}
+
+    x = rng.normal(size=(2, 64, 3)).astype("f4")
+    jm = DGCNNFoldingNet(k=6, n_embedding=emb, shape_type="plane",
+                         n_input_points=2025, decode_mesh=False, static=True,
+                         deform=True, dec_depth=2)
+    out_t, out_j = _run_parity(tm, jm, variables, x, rng)
+    np.testing.assert_allclose(out_j, out_t.transpose(0, 2, 1),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_dgcnn_cls_forward_matches_reference(rng):
     """cls-DGCNN (DGSSM backbone) full-forward parity
     (dgcnn_opensrc.py:101-172): 4 EdgeConvs, emb conv, global max+avg
