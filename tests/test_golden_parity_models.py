@@ -267,6 +267,63 @@ def test_folding_net_forward_matches_reference(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_dgcnn_seg_st_imgfeat_forward_matches_reference(rng):
+    """DGCNNSeg with BOTH optional modules: the 1x1-conv ImageFeatures
+    embedding (dgcnn.py:326-343) and the SpatialTransformer (zero-kernel /
+    identity-bias transform head, dgcnn.py:246-279), static graph computed
+    from the pre-transform coords like the reference."""
+    ref = import_ref("models.dgcnn")
+    from fissure_segmentation_tpu.models import DGCNNSeg
+
+    torch.manual_seed(12)
+    tm = ref.DGCNNSeg(k=6, in_features=6, num_classes=4, dynamic=False,
+                      spatial_transformer=True, image_feat_module=True)
+    _randomize_bn_buffers(tm, rng)
+    variables = _assemble(tm, [tm.ec1, tm.ec2, tm.ec3],
+                          list(tm.segmentation), head_last_idx=3)
+
+    def lin(m):
+        d = {"kernel": t2n(m.weight).T.copy()}
+        if m.bias is not None:
+            d["bias"] = t2n(m.bias).copy()
+        return d
+
+    # ImageFeatures: two ConvBlocks (conv1d + BN + LeakyReLU 1e-2)
+    if_p, if_s = {}, {}
+    for j, block in enumerate(tm.image_feature_module.layers):
+        p, s = _bn(block.layers[1])
+        if_p[f"SharedMLP_{j}"] = {
+            "Dense_0": {"kernel": _conv_kernel(block.layers[0])},
+            "BatchNorm_0": p}
+        if_s[f"SharedMLP_{j}"] = {"BatchNorm_0": s}
+    variables["params"]["ImageFeatures_0"] = if_p
+    variables["batch_stats"]["ImageFeatures_0"] = if_s
+
+    # SpatialTransformer: EdgeConv([64,128]) + SharedFC(1024) + 2-layer MLP
+    # + the zero-init/identity-bias transform head
+    st = tm.spatial_transformer
+    st_p, st_s = _edge_conv(st.ec)
+    p, s = _bn(st.shared_fc.layers[1])
+    sp = {"EdgeConv_0": st_p,
+          "SharedMLP_0": {"Dense_0": {"kernel": _conv_kernel(st.shared_fc.layers[0])},
+                          "BatchNorm_0": p}}
+    ss = {"EdgeConv_0": st_s, "SharedMLP_0": {"BatchNorm_0": s}}
+    p, s = _bn(st.mlp[1])
+    sp["Dense_0"], sp["BatchNorm_0"], ss["BatchNorm_0"] = lin(st.mlp[0]), p, s
+    p, s = _bn(st.mlp[4])
+    sp["Dense_1"], sp["BatchNorm_1"], ss["BatchNorm_1"] = lin(st.mlp[3]), p, s
+    sp["Dense_2"] = lin(st.transform)
+    variables["params"]["SpatialTransformer_0"] = sp
+    variables["batch_stats"]["SpatialTransformer_0"] = ss
+
+    x = rng.normal(size=(2, 48, 6)).astype("f4")
+    jm = DGCNNSeg(k=6, in_features=6, num_classes=4, dynamic=False,
+                  spatial_transformer=True, image_feat_module=True)
+    out_t, out_j = _run_parity(tm, jm, variables, x, rng)
+    np.testing.assert_allclose(out_j, out_t.transpose(0, 2, 1),
+                               rtol=5e-4, atol=5e-4)
+
+
 def test_dgcnn_seg_gradients_match_reference(rng):
     """Backward-pass golden parity for the flagship model: with copied
     weights and the same scalar loss, every parameter gradient must match
