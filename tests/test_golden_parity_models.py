@@ -500,6 +500,72 @@ def test_point_transformer_layer_matches_reference(rng):
     np.testing.assert_allclose(out_j, out_t, rtol=2e-4, atol=2e-4)
 
 
+def test_point_transformer_layer_gradients_match_reference(rng):
+    """Backward parity for the vector self-attention layer: with copied
+    weights and the same scalar loss every parameter gradient must match
+    torch autograd (through the kNN gathers, neighbor softmax and the
+    share_planes-grouped weighted sum)."""
+    import copy
+
+    ref = import_ref("models.pointtransformer.seg_model")
+    from fissure_segmentation_tpu.models.point_transformer import \
+        PointTransformerLayer
+
+    def queryandgroup(nsample, xyz, new_xyz, feat, idx, offset, new_offset,
+                      use_xyz=True):
+        d = torch.cdist(new_xyz, xyz)
+        nn_idx = d.topk(nsample, largest=False).indices
+        grouped_xyz = xyz[nn_idx] - new_xyz.unsqueeze(1)
+        grouped_feat = feat[nn_idx]
+        if use_xyz:
+            return torch.cat([grouped_xyz, grouped_feat], -1)
+        return grouped_feat
+
+    ref.pointops.queryandgroup = queryandgroup
+
+    torch.manual_seed(13)
+    c, s, ns, n = 16, 8, 4, 32
+    tm = ref.PointTransformerLayer(in_planes=c, out_planes=c,
+                                   share_planes=s, nsample=ns)
+    _randomize_bn_buffers(tm, rng)
+    params, stats = _pt_layer_params(tm)
+    variables = {"params": params, "batch_stats": stats}
+
+    p = rng.normal(size=(n, 3)).astype("f4")
+    x = rng.normal(size=(n, c)).astype("f4")
+    w = rng.normal(size=(n, c)).astype("f4")
+
+    tm.eval()
+    out_t = tm([torch.from_numpy(p), torch.from_numpy(x), torch.tensor([n])])
+    loss_t = (out_t * torch.from_numpy(w)).mean()
+    loss_t.backward()
+    clone = copy.deepcopy(tm)
+    for pc, pp in zip(clone.parameters(), tm.parameters()):
+        pc.data = pp.grad if pp.grad is not None else torch.zeros_like(pp)
+    grads_t, _ = _pt_layer_params(clone)
+
+    jm = PointTransformerLayer(out_planes=c, share_planes=s, nsample=ns)
+
+    def loss_j(prm):
+        out = jm.apply({"params": prm, "batch_stats": variables["batch_stats"]},
+                       jnp.asarray(p[None]), jnp.asarray(x[None]),
+                       train=False)
+        return jnp.mean(out[0] * jnp.asarray(w))
+
+    with jax.default_matmul_precision("float32"):
+        loss_val, grads_j = jax.value_and_grad(loss_j)(variables["params"])
+    np.testing.assert_allclose(float(loss_val), float(loss_t.detach()),
+                               rtol=1e-5)
+    flat_t = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_flatten_with_path(grads_t)[0]}
+    flat_j = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_flatten_with_path(grads_j)[0]}
+    assert flat_t.keys() == flat_j.keys()
+    for key in flat_t:
+        np.testing.assert_allclose(np.asarray(flat_j[key]), flat_t[key],
+                                   rtol=1e-3, atol=1e-5, err_msg=key)
+
+
 def _install_pointops_shims(ref):
     """Pure-torch single-batch replacements for the CUDA pointops used by
     the reference PointTransformer (pointops.py:16-255): FPS seeded at
