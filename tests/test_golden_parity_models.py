@@ -220,22 +220,8 @@ def test_mobilenet_aspp_forward_matches_reference(rng):
                                rtol=1e-3, atol=1e-3)
 
 
-def test_folding_net_forward_matches_reference(rng):
-    """PC-AE full-forward parity (folding_net.py:42-228): the open-source
-    DGCNN cls encoder (4 single-layer EdgeConvs with self-loop kNN,
-    dgcnn_opensrc.py:34-66) + two-stage FoldingDecoder over the fixed 45x45
-    +-0.3 plane (shape_constructor.py:35-40 -> m=2025, the only m the
-    reference's non-mesh plane path supports)."""
-    ref = import_ref("models.folding_net")
-    from fissure_segmentation_tpu.models import DGCNNFoldingNet
-
-    torch.manual_seed(3)
-    emb = 16
-    tm = ref.DGCNNFoldingNet(k=6, n_embedding=emb, shape_type="plane",
-                             n_input_points=2025, decode_mesh=False,
-                             static=True)
-    _randomize_bn_buffers(tm, rng)
-
+def _folding_net_vars(tm):
+    """Reference DGCNNFoldingNet (FoldingDecoder variant) -> flax tree."""
     enc_p, enc_s = {}, {}
     for j, conv in enumerate([tm.encoder.conv1, tm.encoder.conv2,
                               tm.encoder.conv3, tm.encoder.conv4]):
@@ -254,9 +240,27 @@ def test_folding_net_forward_matches_reference(rng):
                               tm.decoder.folding2[2], tm.decoder.folding2[4]]):
         dec_p[f"Dense_{j}"] = {"kernel": _conv_kernel(conv),
                                "bias": t2n(conv.bias).copy()}
-    variables = {"params": {"DGCNNClsEncoder_0": enc_p,
-                            "FoldingDecoder_0": dec_p},
-                 "batch_stats": {"DGCNNClsEncoder_0": enc_s}}
+    return {"params": {"DGCNNClsEncoder_0": enc_p,
+                       "FoldingDecoder_0": dec_p},
+            "batch_stats": {"DGCNNClsEncoder_0": enc_s}}
+
+
+def test_folding_net_forward_matches_reference(rng):
+    """PC-AE full-forward parity (folding_net.py:42-228): the open-source
+    DGCNN cls encoder (4 single-layer EdgeConvs with self-loop kNN,
+    dgcnn_opensrc.py:34-66) + two-stage FoldingDecoder over the fixed 45x45
+    +-0.3 plane (shape_constructor.py:35-40 -> m=2025, the only m the
+    reference's non-mesh plane path supports)."""
+    ref = import_ref("models.folding_net")
+    from fissure_segmentation_tpu.models import DGCNNFoldingNet
+
+    torch.manual_seed(3)
+    emb = 16
+    tm = ref.DGCNNFoldingNet(k=6, n_embedding=emb, shape_type="plane",
+                             n_input_points=2025, decode_mesh=False,
+                             static=True)
+    _randomize_bn_buffers(tm, rng)
+    variables = _folding_net_vars(tm)
 
     x = rng.normal(size=(2, 64, 3)).astype("f4")
     jm = DGCNNFoldingNet(k=6, n_embedding=emb, shape_type="plane",
@@ -265,6 +269,58 @@ def test_folding_net_forward_matches_reference(rng):
     # reference decodes channel-first: (B, 3, m)
     np.testing.assert_allclose(out_j, out_t.transpose(0, 2, 1),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_folding_net_gradients_match_reference(rng):
+    """Backward parity for the PC-AE: pins the self-loop-kNN EdgeMLP gather
+    backward (a different neighbor pattern than DGCNNSeg's static graph) and
+    the folding-decoder chain."""
+    import copy
+
+    ref = import_ref("models.folding_net")
+    from fissure_segmentation_tpu.models import DGCNNFoldingNet
+
+    torch.manual_seed(14)
+    emb = 16
+    tm = ref.DGCNNFoldingNet(k=6, n_embedding=emb, shape_type="plane",
+                             n_input_points=2025, decode_mesh=False,
+                             static=True)
+    _randomize_bn_buffers(tm, rng)
+    variables = _folding_net_vars(tm)
+
+    x = rng.normal(size=(2, 64, 3)).astype("f4")
+    w = rng.normal(size=(2, 3, 2025)).astype("f4")
+
+    tm.eval()
+    out_t = tm(torch.from_numpy(x.transpose(0, 2, 1)))
+    loss_t = (out_t * torch.from_numpy(w)).mean()
+    loss_t.backward()
+    clone = copy.deepcopy(tm)
+    for pc, pp in zip(clone.parameters(), tm.parameters()):
+        pc.data = pp.grad if pp.grad is not None else torch.zeros_like(pp)
+    grads_t = _folding_net_vars(clone)["params"]
+
+    jm = DGCNNFoldingNet(k=6, n_embedding=emb, shape_type="plane",
+                         n_input_points=2025, decode_mesh=False, static=True)
+
+    def loss_j(prm):
+        out = jm.apply({"params": prm,
+                        "batch_stats": variables["batch_stats"]},
+                       jnp.asarray(x), train=False)
+        return jnp.mean(out * jnp.asarray(w.transpose(0, 2, 1)))
+
+    with jax.default_matmul_precision("float32"):
+        loss_val, grads_j = jax.value_and_grad(loss_j)(variables["params"])
+    np.testing.assert_allclose(float(loss_val), float(loss_t.detach()),
+                               rtol=1e-5)
+    flat_t = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_flatten_with_path(grads_t)[0]}
+    flat_j = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_flatten_with_path(grads_j)[0]}
+    assert flat_t.keys() == flat_j.keys()
+    for key in flat_t:
+        np.testing.assert_allclose(np.asarray(flat_j[key]), flat_t[key],
+                                   rtol=1e-3, atol=1e-5, err_msg=key)
 
 
 def test_dgcnn_seg_st_imgfeat_forward_matches_reference(rng):
