@@ -236,3 +236,15 @@ def test_speed_entry_loads_trained_args(tmp_path):
     after = json.load(open(tmp_path / "commandline_args.json"))
     assert after["pts"] == stored["pts"] == 128
     assert after["k"] == stored["k"] == 8
+
+
+def test_experiment_grid_scripts_parse():
+    """bash -n syntax check of the experiment-grid scripts (scripts/*.sh)."""
+    import glob
+    import subprocess
+
+    scripts = glob.glob(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "*.sh"))
+    assert scripts, "no grid scripts found"
+    for s in scripts:
+        subprocess.run(["bash", "-n", s], check=True)
