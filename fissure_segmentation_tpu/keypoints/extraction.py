@@ -27,6 +27,7 @@ from ..utils.coords import kpts_to_grid
 from ..utils.filters import smooth
 from ..utils.sampling import sample_patches_at_kpts
 from .foerstner import foerstner_keypoints
+from ..ops.topk import masked_top_k
 from .hessian import hessian_fissure_enhancement
 
 MAX_KPTS = 20000
@@ -39,8 +40,10 @@ def _random_cap(rng, kp: jnp.ndarray, valid: jnp.ndarray, max_kpts: int):
     if n <= max_kpts:
         return kp, valid
     score = jnp.where(valid, jax.random.uniform(rng, (n,)), -jnp.inf)
-    _, idx = jax.lax.top_k(score, max_kpts)
-    return kp[idx], valid[idx]
+    top, idx = masked_top_k(score, max_kpts)
+    # validity from the selected scores, not valid[idx]: -inf slots may
+    # carry clamped indices that land on a valid row
+    return kp[idx], valid[idx] & jnp.isfinite(top)
 
 
 def get_noisy_keypoints(rng: jax.Array, fissures: jnp.ndarray,
@@ -50,7 +53,7 @@ def get_noisy_keypoints(rng: jax.Array, fissures: jnp.ndarray,
     flat = (fissures != 0).reshape(-1)
     r1, r2 = jax.random.split(rng)
     score = jnp.where(flat, jax.random.uniform(r1, flat.shape), -jnp.inf)
-    top, idx = jax.lax.top_k(score, max_kpts)
+    top, idx = masked_top_k(score, max_kpts)
     valid = jnp.isfinite(top)
     d, h, w = fissures.shape
     kp = jnp.stack([idx // (h * w), (idx // w) % h, idx % w], -1).astype(jnp.float32)
@@ -65,8 +68,14 @@ def get_enhancement_keypoints(enhanced: jnp.ndarray, min_threshold: float = 0.2,
     """Top-k of the smoothed enhancement image above threshold
     (keypoint_extraction.py:134-141; DiscreteGaussian var 1 == sigma 1)."""
     sm = smooth(enhanced, 1.0)
-    top, idx = jax.lax.top_k(sm.reshape(-1), max_kpts)
-    valid = top > min_threshold
+    # Threshold BEFORE the top-k (reference thresholds after,
+    # keypoint_extraction.py:138-140 — same selected set either way): the
+    # plateness image is exactly 0.0 wherever lambda1 >= 0, and those mass
+    # ties at the cut defeat masked_top_k's exactness certificate, forcing
+    # its slow lax.top_k fallback every call (measured 64 -> 22 ms/case).
+    score = jnp.where(sm > min_threshold, sm, -jnp.inf).reshape(-1)
+    top, idx = masked_top_k(score, max_kpts)
+    valid = jnp.isfinite(top)
     d, h, w = enhanced.shape
     kp = jnp.stack([idx // (h * w), (idx // w) % h, idx % w], -1).astype(jnp.int32)
     return kp, valid
@@ -87,7 +96,7 @@ def get_cnn_keypoints(softmax_scores: jnp.ndarray, lung_mask: jnp.ndarray,
     if rng is None:
         rng = jax.random.PRNGKey(0)
     score = jnp.where(flat, jax.random.uniform(rng, flat.shape), -jnp.inf)
-    top, idx = jax.lax.top_k(score, max_kpts)
+    top, idx = masked_top_k(score, max_kpts)
     valid = jnp.isfinite(top)
     d, h, w, c = softmax_scores.shape
     kp = jnp.stack([idx // (h * w), (idx // w) % h, idx % w], -1).astype(jnp.int32)

@@ -108,7 +108,8 @@ def foerstner_keypoints(img: jnp.ndarray, mask: jnp.ndarray, sigma: float = 1.4,
     if approx_top_k:
         top, idx = jax.lax.approx_max_k(flat, max_kpts)
     else:
-        top, idx = jax.lax.top_k(flat, max_kpts)
+        from ..ops.topk import masked_top_k
+        top, idx = masked_top_k(flat, max_kpts)
     valid = jnp.isfinite(top)
     dhw = img.shape[-3:]
     z = idx // (dhw[1] * dhw[2])

