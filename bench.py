@@ -3,16 +3,13 @@
 Primary metric (the JSON "value"): the reference's *total* per-case runtime
 definition for the headline DGCNN+Förstner pipeline (BASELINE.md: keypoint
 preprocessing + inference + post-processing; thesis pareto figure
-performance_time_plot.py:31, 1.352 s/case on the reference GPU node).
-
-  stage A (device, one jit): Foerstner keypoint detection on a 256^3 CT
-      volume (structure tensor + NMS + masked top-k, foerstner.py:76-108
-      counterpart) -> grid-normalized coords -> 50x2048-subset DGCNN
-      ensemble segmentation (point_seg_net.py:21-48 protocol, canonical
-      k=40 static graph, coords-only).
-  stage B (host+device): per-fissure surface fitting (device spectral PSR +
-      marching tetrahedra, native C++ largest-component filtering) and the
-      final mesh -> labelmap rasterization (native SAT voxelizer).
+performance_time_plot.py:31, 1.352 s/case on the reference GPU node),
+measured as wall-clock of the FUSED serving path
+(fissure_segmentation_tpu/serving.py:segment_case): Foerstner detection on
+the 256^3 CT + 50x2048-subset DGCNN ensemble (point_seg_net.py:21-48
+protocol, canonical k=40 static graph) + per-class spectral PSR + marching
+tetrahedra in ONE device dispatch, one packed ~1.5 MB fetch, then the
+native-C++ host component filter and SAT labelmap rasterization.
 
 The "details" dict additionally reports (all on the same chip):
   * the BASELINE.json north-star training metric — clouds/sec/chip for the
@@ -120,11 +117,7 @@ def bench_train_throughput(dtype=None, tag=""):
 def main():
     from fissure_segmentation_tpu.data.synthetic import (
         make_synthetic_image_case, sample_fissure_surface)
-    from fissure_segmentation_tpu.keypoints.extraction import (
-        get_cnn_keypoints, get_enhancement_keypoints)
     from fissure_segmentation_tpu.keypoints.foerstner import foerstner_keypoints
-    from fissure_segmentation_tpu.keypoints.hessian import \
-        hessian_fissure_enhancement
     from fissure_segmentation_tpu.models import DGCNNSeg, ensemble_predict
     from fissure_segmentation_tpu.models.seg_cnn import (MobileNetASPP,
                                                          predict_full_volume)
@@ -140,22 +133,39 @@ def main():
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 2048, 3), jnp.float32), train=False)
 
+    # Untrained bench weights collapse every keypoint into one class, which
+    # would starve the surface-fit stage of realistic triangle loads. Add a
+    # coordinate-keyed bias AFTER the full DGCNN forward (all FLOPs intact):
+    # keypoints in a narrow z-band around each synthetic fissure sheet (on
+    # the correct lung side) get that class, so per-class point counts, PSR
+    # and marching-tetrahedra loads match a trained model's.
+    _zb = []
+    _srng = np.random.default_rng(11)
+    _scale = np.array(SHAPE[::-1], np.float32) - 1
+    for c in (1, 2, 3):
+        s = sample_fissure_surface(case["surface_params"], c, 2000, _srng)
+        g = np.asarray(kpts_to_grid((s * _scale).astype(np.float32), SHAPE))
+        _zb.append((float(g[:, 2].mean()), float(2 * g[:, 2].std() + 0.02),
+                    float(np.sign(g[:, 0].mean()))))
+
+    def biased_apply(variables, x, train=False):
+        logits = model.apply(variables, x, train=train)
+        z, xg = x[..., 2], x[..., 0]
+        for c, (m, w, side) in enumerate(_zb, start=1):
+            band = (jnp.abs(z - m) < w) & (xg * side > 0)
+            logits = logits.at[..., c].add(jnp.where(band, 50.0, 0.0))
+        return logits
+
     def ensemble_from_kpts(kpts, valid, rng):
         world = kpts[:, ::-1].astype(jnp.float32)        # zyx -> xyz voxel
         coords = kpts_to_grid(world, SHAPE)              # [-1, 1] grid xyz
         coords = jnp.where(valid[:, None], coords, -1.0)
-        probs = ensemble_predict(model.apply, variables, coords, rng,
+        probs = ensemble_predict(biased_apply, variables, coords, rng,
                                  sample_points=2048, n_runs_min=50)
         return jnp.argmax(probs, axis=-1)
 
     def one_case(img, rng):
         kpts, valid, _ = foerstner_keypoints(img, mask, max_kpts=MAX_KPTS)
-        return kpts, valid, ensemble_from_kpts(kpts, valid, rng)
-
-    def one_case_hessian(img, rng):
-        enh = hessian_fissure_enhancement(img, fissure_mu=-313.5,
-                                          fissure_sigma=62.6)
-        kpts, valid = get_enhancement_keypoints(enh, max_kpts=MAX_KPTS)
         return kpts, valid, ensemble_from_kpts(kpts, valid, rng)
 
     def chained_scalar(case_fn, reps):
@@ -176,10 +186,38 @@ def main():
         float(chained(jnp.float32(0)))  # compile + warm up
         return _timeit(lambda: float(chained(jnp.float32(0)))) / reps
 
-    # ---- stage A timing (Foerstner headline + Hessian variant) ----
+    # ---- fused serving path (THE headline): detector -> 50x2048 ensemble
+    # -> 3x spectral PSR -> marching tetrahedra in ONE jit, ONE packed
+    # ~1.5 MB fetch, then the native host component/labelmap stage
+    # (fissure_segmentation_tpu/serving.py). Volume device-resident, as in
+    # the chained-scan methodology (upload is not a per-case cost for a
+    # device-resident store; over the tunnel it would add ~1.3 s that a
+    # colocated host pays in ~20 ms). ----
+    from fissure_segmentation_tpu.serving import segment_case
+
+    dimg = jax.device_put(img)
+    dmask = jax.device_put(mask.astype(bool))
+
+    def time_fused(vol, mode, reps=3):
+        def once(seed):
+            return segment_case(vol, dmask, biased_apply, variables,
+                                jax.random.PRNGKey(seed), kp_mode=mode,
+                                center_x=SHAPE[2] / 2)
+
+        res = once(0)                          # compile + warm up
+        times = []
+        for s in range(1, reps + 1):
+            t0 = time.perf_counter()
+            res = once(s)
+            times.append(time.perf_counter() - t0)
+        return min(times), res
+
+    fused_case_seconds, fused_res = time_fused(dimg, "foerstner")
+    n_fused_tris = [int(v.sum()) for _, v in fused_res.meshes]
+    assert fused_res.labelmap.any(), "fused pipeline produced empty labelmap"
+    fused_hessian_seconds, _ = time_fused(dimg, "enhancement")
+
     REPS = 5
-    stage_a_seconds = chained_scalar(one_case, REPS)
-    hessian_stage_seconds = chained_scalar(one_case_hessian, 3)
 
     # ---- exact vs approx_max_k keypoint extraction (detector only):
     # decides whether the 16.7M-element top-k dominates the Foerstner stage
@@ -195,16 +233,11 @@ def main():
     foerstner_exact_seconds = chained_scalar(foerstner_only(False), REPS)
     foerstner_approx_seconds = chained_scalar(foerstner_only(True), REPS)
 
-    # ---- device -> host transfer of the inference outputs (timed once;
-    # the compute itself is already counted in stage A) ----
+    # ---- staged keypoints+prediction for the PC-AE pipeline and the
+    # representative stage-B point sets below ----
     fetch = jax.jit(one_case)
-    outs = fetch(img, jax.random.PRNGKey(2))   # warm-up compile + compute
-    [np.asarray(a) for a in outs]
-    outs = fetch(img, jax.random.PRNGKey(2))   # dispatch fresh outputs ...
-    time.sleep(1.0)                            # ... let the device finish
-    t0 = time.perf_counter()
-    kpts, valid, pred = (np.asarray(a) for a in outs)
-    fetch_seconds = time.perf_counter() - t0   # transfer only
+    kpts, valid, pred = (np.asarray(a)
+                         for a in fetch(img, jax.random.PRNGKey(2)))
 
     # ---- CNN-keypoint pipeline: sliding-window pre-seg CNN (host loop of
     # jitted 128^3 patches, Gaussian blending) + fg keypoints + softmax-
@@ -229,26 +262,8 @@ def main():
     soft = cnn_softmax()                       # warm-up (compiles fwd)
     cnn_window_seconds = _timeit(cnn_softmax, repeats=2)
 
-    def one_case_cnn_tail(soft, rng):
-        kpts, valid, _ = get_cnn_keypoints(soft, mask > 0, rng=rng,
-                                           max_kpts=MAX_KPTS)
-        return kpts, valid, ensemble_from_kpts(kpts, valid, rng)
-
-    @jax.jit
-    def cnn_tail_chain(c0, soft):
-        def body(c, i):
-            _, valid, pred = one_case_cnn_tail(
-                soft * (1.0 + 1e-12 * c),
-                jax.random.fold_in(jax.random.PRNGKey(3), i))
-            return (jnp.sum(jnp.where(valid, pred, 0)).astype(jnp.float32)
-                    * 1e-20), None
-
-        c, _ = jax.lax.scan(body, c0, jnp.arange(3), length=3)
-        return c
-
-    float(cnn_tail_chain(jnp.float32(0), soft))
-    cnn_tail_seconds = _timeit(
-        lambda: float(cnn_tail_chain(jnp.float32(0), soft))) / 3
+    # fused tail: cnn keypoints -> ensemble -> PSR -> MT in one dispatch
+    cnn_tail_seconds, _ = time_fused(soft, "cnn")
 
     # ---- DGCNN+PC-AE pipeline (reference: 0.418 s/case,
     # performance_time_plot.py:34): same Foerstner keypoints + ensemble,
@@ -338,15 +353,13 @@ def main():
     train_metrics = bench_train_throughput()
     train_metrics.update(bench_train_throughput(jnp.bfloat16, "_bf16"))
 
-    case_seconds = stage_a_seconds + fetch_seconds + stage_b_seconds
-    hessian_case_seconds = (hessian_stage_seconds + fetch_seconds
-                            + stage_b_seconds)
-    cnn_case_seconds = (cnn_window_seconds + cnn_tail_seconds
-                        + fetch_seconds + stage_b_seconds)
+    case_seconds = fused_case_seconds
+    hessian_case_seconds = fused_hessian_seconds
+    cnn_case_seconds = cnn_window_seconds + cnn_tail_seconds
     print(json.dumps({
-        "metric": "full-case pipeline latency (Foerstner keypoints on 256^3 CT"
+        "metric": "full-case serving latency (Foerstner keypoints on 256^3 CT"
                   " -> 50x2048-subset DGCNN ensemble -> 3x spectral-PSR mesh"
-                  " fit + labelmap, 1 chip)",
+                  " fit + labelmap; ONE fused dispatch + packed fetch, 1 chip)",
         "value": round(case_seconds, 4),
         "unit": "s/case",
         "vs_baseline": round(REFERENCE_CASE_SECONDS / case_seconds, 3),
@@ -361,17 +374,15 @@ def main():
             "pcae_pipeline_s_per_case": round(pcae_case_seconds, 4),
             "pcae_vs_baseline": round(
                 REFERENCE_PCAE_SECONDS / pcae_case_seconds, 2),
+            "fused_mesh_triangles": n_fused_tris,
             "stage_seconds": {
-                "foerstner_kpts_plus_ensemble": round(stage_a_seconds, 4),
                 "foerstner_detector_exact_topk": round(
                     foerstner_exact_seconds, 4),
                 "foerstner_detector_approx_topk": round(
                     foerstner_approx_seconds, 4),
-                "hessian_kpts_plus_ensemble": round(hessian_stage_seconds, 4),
                 "cnn_full_volume_fwd": round(cnn_window_seconds, 4),
-                "cnn_kpts_plus_ensemble": round(cnn_tail_seconds, 4),
-                "fetch": round(fetch_seconds, 4),
-                "surface_fit_plus_labelmap": round(stage_b_seconds, 4),
+                "cnn_fused_tail": round(cnn_tail_seconds, 4),
+                "staged_surface_fit_plus_labelmap": round(stage_b_seconds, 4),
             },
         },
     }))

@@ -1,0 +1,169 @@
+"""One-call CT-case inference: keypoints -> ensemble seg -> fissure meshes.
+
+The reference's serving loop (train.py:179-321) crosses the host<->device
+boundary once per stage: keypoint detection, 50x subset ensembling, per-class
+Poisson fit, voxelization. On a remote-attached TPU every crossing costs a
+round trip plus transfer, so here the WHOLE device part of a case — detector,
+subset-ensemble segmentation, per-class spectral PSR and marching tetrahedra
+— is fused into ONE jit with transfer-packed outputs:
+
+    keypoints   uint16 zyx voxel indices   (vs int32: 2x smaller)
+    validity    bit-packed                  (8x)
+    labels      uint8                       (4x)
+    inside grid bit-packed sign of phi      (512x vs f32 phi)
+    triangles   uint16 fixed-point          (see surface_fitting._QSCALE)
+
+so a full case costs one dispatch + one ~1.5 MB fetch. Host work after the
+fetch is only the component/mask filtering of surface_fitting._host_mesh_filter
+(native C++ connected components) and the optional labelmap rasterization.
+
+Stage parity: keypoints/{foerstner,hessian,extraction}.py, models/ensemble.py
+(point_seg_net.py:21-48 protocol), postprocess/surface_fitting.py
+(train.py:283-321 chain).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .keypoints.extraction import get_cnn_keypoints, get_enhancement_keypoints
+from .keypoints.foerstner import foerstner_keypoints
+from .keypoints.hessian import hessian_fissure_enhancement
+from .models.ensemble import ensemble_predict
+from .postprocess.surface_fitting import (_QSCALE, _batched_psr_mc,
+                                          _host_mesh_filter)
+from .utils.coords import kpts_to_grid
+
+
+@dataclass
+class CaseResult:
+    """Host-side result of one segmented CT case."""
+    kpts: np.ndarray          # (n_valid, 3) int zyx voxel indices
+    labels: np.ndarray        # (n_valid,) predicted class per keypoint
+    meshes: list              # per foreground class: (tris (T,3,3) world xyz, valid (T,))
+    labelmap: np.ndarray | None   # (D, H, W) uint8, if requested
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("apply_fn", "kp_mode", "max_kpts", "sample_points",
+                     "n_runs_min", "subset_batch", "grid_res", "sig",
+                     "k_normals", "max_tris", "num_fg_classes",
+                     "fissure_mu", "fissure_sigma"))
+def _device_case(vol, mask, variables, rng, *, apply_fn, kp_mode, max_kpts,
+                 sample_points, n_runs_min, subset_batch, grid_res, sig,
+                 k_normals, max_tris, num_fg_classes, fissure_mu,
+                 fissure_sigma):
+    """Device half of a case: detector + ensemble + PSR + marching tets.
+
+    `vol` is the CT volume (foerstner/enhancement modes) or the pre-seg CNN
+    softmax volume (cnn mode, (D, H, W, C)).
+    """
+    if kp_mode == "foerstner":
+        kpts, valid, _ = foerstner_keypoints(vol, mask, sigma=0.5, d=5,
+                                             thresh=1e-8, max_kpts=max_kpts)
+        shape = vol.shape
+    elif kp_mode == "enhancement":
+        enh = hessian_fissure_enhancement(vol, fissure_mu=fissure_mu,
+                                          fissure_sigma=fissure_sigma)
+        kpts, valid = get_enhancement_keypoints(enh, max_kpts=max_kpts)
+        shape = vol.shape
+    elif kp_mode == "cnn":
+        kpts, valid, _ = get_cnn_keypoints(vol, mask, max_kpts=max_kpts,
+                                           rng=jax.random.fold_in(rng, 1))
+        shape = vol.shape[:-1]
+    else:
+        raise ValueError(f'serving does not support kp_mode "{kp_mode}"')
+
+    world = kpts[:, ::-1].astype(jnp.float32)          # zyx -> xyz voxel
+    coords = kpts_to_grid(world, shape)                # [-1, 1] grid xyz
+    coords = jnp.where(valid[:, None], coords, -1.0)
+
+    probs = ensemble_predict(apply_fn, variables, coords, rng,
+                             sample_points=sample_points,
+                             n_runs_min=n_runs_min,
+                             subset_batch=subset_batch)
+    pred = jnp.argmax(probs, axis=-1)
+
+    class_valid = jnp.stack(
+        [valid & (pred == c) for c in range(1, num_fg_classes + 1)])
+    inside_bits, tris_q, n_tris = _batched_psr_mc(
+        coords[:, ::-1], class_valid, grid_res, sig, k_normals, max_tris)
+
+    return (jnp.clip(kpts, 0, 65535).astype(jnp.uint16),
+            jnp.packbits(valid), pred.astype(jnp.uint8),
+            inside_bits, tris_q, n_tris)
+
+
+def segment_case(vol, mask, apply_fn, variables, rng, *,
+                 kp_mode: str = "foerstner", max_kpts: int = 20000,
+                 sample_points: int = 2048, n_runs_min: int = 50,
+                 subset_batch: int = 5, grid_res=(64, 64, 64),
+                 sig: float = 4.0, k_normals: int = 30,
+                 max_tris: int = 24000, num_fg_classes: int = 3,
+                 fissure_mu: float = -313.5, fissure_sigma: float = 62.6,
+                 rights=None, center_x: float | None = None,
+                 lung_mask_filter: np.ndarray | None = None,
+                 mask_dilate_radius: int = 1, crop_to_bbox: bool = True,
+                 make_labelmap: bool = True) -> CaseResult:
+    """Segment one CT case end-to-end (train.py:179-321 serving chain).
+
+    :param vol: (D, H, W) CT volume at unit spacing — or, for
+        ``kp_mode="cnn"``, the (D, H, W, C) pre-seg softmax volume (from
+        models.seg_cnn.predict_full_volume)
+    :param mask: (D, H, W) bool lung mask (keypoint restriction)
+    :param apply_fn: point-seg model apply (variables, (B, S, 3), train=False)
+    :param rights: per-fg-class right-lung flags for component selection
+        (default: fissure convention [False, True, True][:num_fg_classes])
+    :param lung_mask_filter: optional mask restricting the fitted meshes
+        (reference mask_out_verts_from_mesh, train.py:300)
+    :param center_x: left/right split plane in voxels for component selection
+    :return: CaseResult with host-side keypoints, labels, per-class meshes
+        (world xyz) and optionally the rasterized labelmap.
+    """
+    shape = vol.shape[:-1] if kp_mode == "cnn" else vol.shape
+    if rights is None:
+        rights = ([False, True, True] + [None] * num_fg_classes)[:num_fg_classes]
+
+    out = _device_case(
+        jnp.asarray(vol), jnp.asarray(mask), variables, rng,
+        apply_fn=apply_fn, kp_mode=kp_mode, max_kpts=max_kpts,
+        sample_points=sample_points, n_runs_min=n_runs_min,
+        subset_batch=subset_batch, grid_res=tuple(grid_res), sig=sig,
+        k_normals=k_normals, max_tris=max_tris,
+        num_fg_classes=num_fg_classes, fissure_mu=fissure_mu,
+        fissure_sigma=fissure_sigma)
+    kpts_q, valid_bits, pred, inside_bits, tris_q, n_tris = jax.device_get(out)
+
+    valid = np.unpackbits(valid_bits, count=max_kpts).astype(bool)
+    kpts = kpts_q.astype(np.int32)
+    world = kpts[:, ::-1].astype(np.float32)
+    inside = np.unpackbits(inside_bits, axis=-1,
+                           count=int(np.prod(grid_res)))
+    inside = inside.reshape(num_fg_classes, *grid_res).astype(bool)
+
+    meshes = []
+    for i in range(num_fg_classes):
+        pts_c = world[valid & (pred == i + 1)]
+        n = int(n_tris[i])
+        if len(pts_c) < 4 or n == 0:
+            meshes.append((np.zeros((0, 3, 3), np.float32),
+                           np.zeros(0, bool)))
+            continue
+        tris_i = tris_q[i, :n].astype(np.float32) / _QSCALE
+        meshes.append(_host_mesh_filter(
+            inside[i], tris_i, np.ones(n, bool), pts_c, shape,
+            tuple(grid_res), lung_mask_filter, mask_dilate_radius,
+            rights[i], center_x, crop_to_bbox))
+
+    labelmap = None
+    if make_labelmap:
+        from .postprocess.surface_fitting import mesh_to_labelmap
+        labelmap = mesh_to_labelmap(meshes, shape)
+
+    return CaseResult(kpts=kpts[valid], labels=pred[valid].astype(np.int32),
+                      meshes=meshes, labelmap=labelmap)
