@@ -37,6 +37,22 @@ def _mm_scatter_tile(n: int, c: int, is_f32: bool) -> int | None:
     return None
 
 
+def _mm2_scatter_tile(n: int, c: int) -> int | None:
+    """Edge tile for the two-level kernel (bf16 payloads): (tile, n_lo) bf16
+    one-hot + ~2x (tile, n_hi*C) bf16 replicated/masked payload + the
+    (n_lo, n_hi*C) f32 accumulator. v5e sweep at E=81920/N=2048/C=64:
+    tile 2048 is best (12.9 ms vs 16.2 for the one-level kernel)."""
+    from .pallas.scatter import pick_n_lo
+    n_lo = pick_n_lo(n, c)
+    n_hi = -(-n // n_lo)
+    acc = n_lo * n_hi * c * 4
+    for tile in (2048, 1024, 512, 256):
+        if tile * n_lo * 2 + 2 * tile * n_hi * c * 2 + acc + tile * c * 2 \
+                <= _MM_VMEM_BUDGET:
+            return tile
+    return None
+
+
 def _flat_gather(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     b, n, c = x.shape
     k = idx.shape[-1]
@@ -66,8 +82,16 @@ def _gather_rows_bwd(idx, ct):
     e = n * k
     ct2 = ct.reshape(b, e, c)
     on_tpu = jax.default_backend() == "tpu"
-    tile_e = _mm_scatter_tile(n, c, xdtype == jnp.float32) if on_tpu else None
-    if tile_e is not None:
+    is_f32 = xdtype == jnp.float32
+    # bf16 payloads route through the two-level kernel (v5e at the canonical
+    # config: 12.9 ms vs 16.2 one-level); the f32 hi/lo split measured
+    # slightly WORSE two-level (18.8 vs 18.4) so f32 keeps the one-level.
+    tile2 = _mm2_scatter_tile(n, c) if on_tpu and not is_f32 else None
+    tile_e = _mm_scatter_tile(n, c, is_f32) if on_tpu else None
+    if tile2 is not None:
+        from .pallas.scatter import scatter_add_mm2
+        dx = scatter_add_mm2(idx.reshape(b, e), ct2, n, tile_e=tile2)
+    elif tile_e is not None:
         from .pallas.scatter import scatter_add_mm
         dx = scatter_add_mm(idx.reshape(b, e), ct2, n, tile_e=tile_e)
     else:

@@ -42,6 +42,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def pick_n_lo(n_rows: int, c_eff: int) -> int:
+    """Low-part modulus minimizing the per-edge lane cost n_lo + n_hi*c_eff
+    of :func:`scatter_add_mm2`. Ties break toward the LARGER n_lo: at the
+    canonical N=2048/C=64 both 256 and 512 cost 768 lanes, but 512 measured
+    ~4% faster on v5e (fewer payload replication blocks)."""
+    best = None
+    for cand in range(128, _round_up(n_rows, 128) + 1, 128):
+        n_hi = -(-n_rows // cand)
+        cost = cand + n_hi * c_eff
+        if best is None or cost <= best[0]:
+            best = (cost, cand)
+    return best[1]
+
+
 def _kernel(idx_ref, g_ref, out_ref, *, r: int, n: int, split: bool,
             f32_dot: bool):
     @pl.when(pl.program_id(1) == 0)
@@ -72,6 +86,95 @@ def _kernel(idx_ref, g_ref, out_ref, *, r: int, n: int, split: bool,
         g = g.astype(jnp.bfloat16)
     out_ref[0] += jax.lax.dot_general(onehot, g, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
+
+
+def _kernel2(idx_ref, g_ref, out_ref, *, r: int, n_lo: int, n_hi: int,
+             split: bool):
+    """Two-level one-hot scatter tile: target row m = bkt*n_lo + lane.
+
+    Instead of an (R, N) one-hot (whose VMEM materialization + VPU compare
+    cost dominates _kernel at N=2048), build an (R, n_lo) one-hot over the
+    low part of the index and replicate the payload into n_hi channel
+    blocks masked by the high part. One dot then lands every edge in an
+    (n_lo, n_hi*C) accumulator; the caller un-interleaves blocks back to
+    row order. FLOPs are identical (R*n_lo*n_hi*C = R*N*C) but the
+    per-edge VPU/VMEM cost drops from N to n_lo + n_hi*C lanes.
+    """
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    tgt = idx_ref[0]                                    # (R, 1) int32
+    lane = jax.lax.rem(tgt, n_lo)
+    bkt = jax.lax.div(tgt, n_lo)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, n_lo), 1)
+    onehot = (cols == lane).astype(jnp.bfloat16)
+    g = g_ref[0]
+    if split:
+        g_hi = g.astype(jnp.bfloat16)
+        g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        g = jnp.concatenate([g_hi, g_lo], axis=-1)
+    else:
+        g = g.astype(jnp.bfloat16)
+    c_eff = g.shape[-1]
+    rep = jnp.concatenate([g] * n_hi, axis=-1)          # (R, n_hi*c_eff)
+    blk = jax.lax.broadcasted_iota(jnp.int32, (r, n_hi * c_eff), 1) // c_eff
+    p = jnp.where(blk == bkt, rep, jnp.zeros_like(rep))
+    out_ref[0] += jax.lax.dot_general(onehot, p, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "tile_e", "n_lo"))
+def scatter_add_mm2(idx: jnp.ndarray, g: jnp.ndarray, n_rows: int,
+                    tile_e: int = 1024, n_lo: int | None = None) -> jnp.ndarray:
+    """Two-level variant of :func:`scatter_add_mm` (see _kernel2).
+
+    :param n_lo: low-part modulus (lane width of the one-hot); multiple of
+        128. Default: the multiple of 128 minimizing n_lo + n_hi*c_eff —
+        the per-edge lane cost of the kernel.
+    :return: (B, n_rows, C) float32
+    """
+    b, e = idx.shape
+    c = g.shape[-1]
+    if g.shape[:2] != (b, e):
+        raise ValueError(f"idx {idx.shape} vs g {g.shape}")
+    split = g.dtype == jnp.float32
+    c_eff = 2 * c if split else c
+    if n_lo is None:
+        n_lo = pick_n_lo(n_rows, c_eff)
+    n_hi = -(-n_rows // n_lo)
+
+    e_pad = _round_up(e, tile_e)
+    if e_pad != e:
+        # pad targets land at row n_hi*n_lo - 1 with zero payload -> no-op
+        idx = jnp.concatenate(
+            [idx, jnp.full((b, e_pad - e), n_hi * n_lo - 1, idx.dtype)],
+            axis=1)
+        g = jnp.concatenate(
+            [g, jnp.zeros((b, e_pad - e, c), g.dtype)], axis=1)
+
+    grid = (b, e_pad // tile_e)
+    kernel = functools.partial(_kernel2, r=tile_e, n_lo=n_lo, n_hi=n_hi,
+                               split=split)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_e, 1), lambda bi, ei: (bi, ei, 0)),
+            pl.BlockSpec((1, tile_e, c), lambda bi, ei: (bi, ei, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n_lo, n_hi * c_eff),
+                               lambda bi, ei: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_lo, n_hi * c_eff), jnp.float32),
+        interpret=interpret_mode(),
+    )(idx[..., None], g)
+    # (B, n_lo, n_hi, c_eff) -> (B, n_hi*n_lo, c_eff): block h holds rows
+    # {m : m // n_lo == h}, laid out by lane = m % n_lo
+    out = out.reshape(b, n_lo, n_hi, c_eff).swapaxes(1, 2).reshape(
+        b, n_hi * n_lo, c_eff)[:, :n_rows]
+    if split:
+        out = out[..., :c] + out[..., c:]
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "tile_e", "exact"))

@@ -103,6 +103,34 @@ def test_scatter_add_mm_matches_xla(rng, dtype, exact, tol):
     np.testing.assert_allclose(np.asarray(out) / scale, ref / scale, atol=tol)
 
 
+@pytest.mark.parametrize("dtype,tol", [
+    (jnp.float32, 2e-5),          # hi+lo bf16 split: ~16 mantissa bits
+    (jnp.bfloat16, 1e-6),         # bf16 payload: accumulation exact in f32
+])
+def test_scatter_add_mm2_matches_xla(rng, dtype, tol):
+    from fissure_segmentation_tpu.ops.pallas.scatter import scatter_add_mm2
+    b, e, n, c = 2, 512, 300, 16   # n not a multiple of n_lo
+    idx = jnp.asarray(rng.integers(0, n, (b, e)), jnp.int32)
+    g = jnp.asarray(rng.standard_normal((b, e, c)), dtype)
+    out = scatter_add_mm2(idx, g, n, tile_e=256, n_lo=128)
+    assert out.shape == (b, n, c)
+    ref = _scatter_ref(idx, g, n)
+    scale = np.abs(ref).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(out) / scale, ref / scale, atol=tol)
+
+
+def test_scatter_add_mm2_padding_and_autosplit(rng):
+    from fissure_segmentation_tpu.ops.pallas.scatter import scatter_add_mm2
+    b, e, n, c = 1, 300, 256, 8    # E not a multiple of tile_e; auto n_lo
+    idx = jnp.asarray(rng.integers(0, n, (b, e)), jnp.int32)
+    g = jnp.asarray(rng.standard_normal((b, e, c)), jnp.float32)
+    out = scatter_add_mm2(idx, g, n, tile_e=256)
+    ref = _scatter_ref(idx, g, n)
+    scale = np.abs(ref).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(out) / scale, ref / scale,
+                               atol=2e-5)
+
+
 def test_scatter_add_mm_padding(rng):
     # E not a multiple of tile_e -> pad rows must contribute nothing
     b, e, n, c = 1, 300, 50, 8
