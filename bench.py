@@ -64,7 +64,7 @@ def _timeit(fn, repeats=3):
     return min(times)
 
 
-def bench_train_throughput(dtype=None, tag=""):
+def bench_train_throughput(dtype=None, tag="", knn_recall=None):
     """North-star: clouds/sec/chip, DGCNN seg fwd+bwd at the canonical
     config (BASELINE.md:21 — batch 32, 2048 pts, k=40, static graph).
 
@@ -77,7 +77,7 @@ def bench_train_throughput(dtype=None, tag=""):
 
     B, N, REPS = 32, 2048, 8
     model = DGCNNSeg(k=40, in_features=3, num_classes=4, dynamic=False,
-                     dtype=dtype)
+                     dtype=dtype, knn_recall=knn_recall)
     x = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3), jnp.float32)
     y = jax.random.randint(jax.random.PRNGKey(1), (B, N), 0, 4)
     variables = model.init(jax.random.PRNGKey(2), x, train=False)
@@ -352,6 +352,9 @@ def main():
     # ---- north-star training throughput (f32 + AMP-parity bf16) ----
     train_metrics = bench_train_throughput()
     train_metrics.update(bench_train_throughput(jnp.bfloat16, "_bf16"))
+    # opt-in approximate graph build (--knn_recall 0.9: 0.97 measured recall)
+    train_metrics.update(bench_train_throughput(
+        jnp.bfloat16, "_bf16_knn_recall_0.9", knn_recall=0.9))
 
     case_seconds = fused_case_seconds
     hessian_case_seconds = fused_hessian_seconds

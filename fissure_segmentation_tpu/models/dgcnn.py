@@ -33,12 +33,14 @@ class EdgeConv(nn.Module):
     k: int
     first_layer: bool = False
     dtype: Any = None
+    knn_recall: float | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, fixed_knn_graph=None, train: bool = False):
         if fixed_knn_graph is None:
             graph_feats = x[..., :3] if self.first_layer else x
-            idx = knn(graph_feats, self.k, self_loop=True)
+            idx = knn(graph_feats, self.k, self_loop=True,
+                      recall_target=self.knn_recall)
         else:
             idx = fixed_knn_graph
         if self.dtype is not None:
@@ -97,13 +99,16 @@ class DGCNNBase(nn.Module):
     dynamic: bool = True
     image_feat_module: bool = False
     dtype: Any = None
+    # opt-in approximate graph build (ops/knn.py recall_target); None = exact
+    knn_recall: float | None = None
 
     def _common(self, x, train):
         """Shared stem: static graph + image features + spatial transformer
         (DGCNNBase.forward, dgcnn.py:88-106)."""
         graph = None
         if not self.dynamic:
-            graph = knn(x[..., :3], self.k, self_loop=False)
+            graph = knn(x[..., :3], self.k, self_loop=False,
+                        recall_target=self.knn_recall)
         if self.image_feat_module:
             x = ImageFeatures()(x, train)
         if self.spatial_transformer:
@@ -118,9 +123,11 @@ class DGCNNSeg(DGCNNBase):
     def __call__(self, x: jnp.ndarray, train: bool = False):
         x, graph = self._common(x, train)
         dt = self.dtype
-        x1 = EdgeConv([64, 64], self.k, first_layer=True, dtype=dt)(x, graph, train)
-        x2 = EdgeConv([64], self.k, dtype=dt)(x1, graph, train)
-        x3 = EdgeConv([64], self.k, dtype=dt)(x2, graph, train)
+        kr = self.knn_recall
+        x1 = EdgeConv([64, 64], self.k, first_layer=True, dtype=dt,
+                      knn_recall=kr)(x, graph, train)
+        x2 = EdgeConv([64], self.k, dtype=dt, knn_recall=kr)(x1, graph, train)
+        x3 = EdgeConv([64], self.k, dtype=dt, knn_recall=kr)(x2, graph, train)
         multi = jnp.concatenate([x1, x2, x3], axis=-1)
         g = SharedMLP(1024, dtype=dt)(multi, train)
         g = jnp.max(g, axis=-2, keepdims=True)  # global feature (B, 1, 1024)
@@ -140,10 +147,12 @@ class DGCNNReg(DGCNNBase):
     def __call__(self, x: jnp.ndarray, train: bool = False):
         x, graph = self._common(x, train)
         dt = self.dtype
-        x1 = EdgeConv([64], self.k, first_layer=True, dtype=dt)(x, graph, train)
-        x2 = EdgeConv([64], self.k, dtype=dt)(x1, graph, train)
-        x3 = EdgeConv([128], self.k, dtype=dt)(x2, graph, train)
-        x4 = EdgeConv([256], self.k, dtype=dt)(x3, graph, train)
+        kr = self.knn_recall
+        x1 = EdgeConv([64], self.k, first_layer=True, dtype=dt,
+                      knn_recall=kr)(x, graph, train)
+        x2 = EdgeConv([64], self.k, dtype=dt, knn_recall=kr)(x1, graph, train)
+        x3 = EdgeConv([128], self.k, dtype=dt, knn_recall=kr)(x2, graph, train)
+        x4 = EdgeConv([256], self.k, dtype=dt, knn_recall=kr)(x3, graph, train)
         multi = jnp.concatenate([x1, x2, x3, x4], axis=-1)
         g = SharedMLP(1024, dtype=dt)(multi, train)
         g = jnp.max(g, axis=-2)  # (B, 1024)

@@ -44,9 +44,11 @@ def pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray | None = None) -> jnp.ndarray
 
 
 @functools.partial(jax.jit, static_argnames=("k", "self_loop", "return_dist",
-                                              "query_chunk", "use_pallas"))
+                                              "query_chunk", "use_pallas",
+                                              "recall_target"))
 def knn(x: jnp.ndarray, k: int, self_loop: bool = False, return_dist: bool = False,
-        query_chunk: int | None = None, use_pallas: bool | None = None):
+        query_chunk: int | None = None, use_pallas: bool | None = None,
+        recall_target: float | None = None):
     """k nearest neighbors of every point within its own cloud.
 
     :param x: (..., N, C) point cloud batch (channel-last!). Note the
@@ -61,10 +63,36 @@ def knn(x: jnp.ndarray, k: int, self_loop: bool = False, return_dist: bool = Fal
         kernel is 2-11x faster than materialize+top_k. Pallas distances
         may differ from this path by ~1 ulp (different but algebraically
         equal formula), which can swap near-exact ties.
+    :param recall_target: opt-in APPROXIMATE graph build: materialize the
+        distance matrix and select with `lax.approx_min_k` at this
+        per-neighbor recall (e.g. 0.95). TPU's PartialReduce lowering makes
+        this ~8x faster than the exact Pallas select at the canonical
+        DGCNN config. The self point is always recalled exactly (its
+        distance is pinned below/above the rest), so `self_loop` semantics
+        are preserved. Neighbor ORDER is approximate; downstream EdgeConv
+        max-pools over k, so training is insensitive (the reference's own
+        graphs are stochastic — random 2048-pt subsets per step).
     :return: (..., N, k) int32 neighbor indices [, (..., N, k) distances]
     """
     n = x.shape[-2]
     kk = k if self_loop else k + 1
+    if recall_target is not None:
+        d = pairwise_sqdist(x, x)
+        eye = jnp.eye(n, dtype=bool)
+        if self_loop:
+            # pin self strictly below every true distance -> always recalled
+            # and sorted first (reference puts self at slot 0 with dist 0)
+            d = jnp.where(eye, -1.0, d)
+            dist, idx = jax.lax.approx_min_k(d, k,
+                                             recall_target=recall_target)
+            dist = jnp.where(dist < 0.0, 0.0, dist)
+        else:
+            d = jnp.where(eye, jnp.inf, d)
+            dist, idx = jax.lax.approx_min_k(d, k,
+                                             recall_target=recall_target)
+        if return_dist:
+            return idx.astype(jnp.int32), dist
+        return idx.astype(jnp.int32)
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu" and x.ndim <= 3
                       and x.shape[-1] <= 8 and kk <= 128 and kk <= n

@@ -57,3 +57,30 @@ def test_self_loop_includes_self(rng):
     x = jnp.asarray(rng.normal(size=(1, 20, 3)).astype(np.float32))
     idx = knn(x, k=4, self_loop=True)
     np.testing.assert_array_equal(np.asarray(idx[..., 0]), np.arange(20)[None])
+
+def test_knn_approx_recall_and_self_semantics(rng):
+    """recall_target path: high set-recall vs exact, preserved self handling.
+
+    On CPU approx_min_k lowers to exact top-k, so recall here is 1.0; the
+    assertions bound what the TPU lowering must also satisfy (recall>=target)
+    and pin the exact self-loop semantics (self first, distance 0).
+    """
+    pts = jnp.asarray(rng.normal(size=(2, 256, 3)).astype(np.float32))
+    k = 12
+    exact = np.asarray(knn(pts, k=k, self_loop=False))
+    approx, dist = knn(pts, k=k, self_loop=False, return_dist=True,
+                       recall_target=0.9)
+    assert approx.shape == (2, 256, k) and dist.shape == (2, 256, k)
+    hits = np.array([
+        len(set(exact[b, n]) & set(np.asarray(approx)[b, n]))
+        for b in range(2) for n in range(256)])
+    assert hits.mean() / k >= 0.9
+    # self is never a neighbor in the no-self-loop path
+    assert not (np.asarray(approx) == np.arange(256)[None, :, None]).any()
+
+    idx_s, dist_s = knn(pts, k=k, self_loop=True, return_dist=True,
+                        recall_target=0.9)
+    np.testing.assert_array_equal(np.asarray(idx_s[..., 0]),
+                                  np.broadcast_to(np.arange(256)[None], (2, 256)))
+    np.testing.assert_allclose(np.asarray(dist_s[..., 0]), 0.0)
+    assert float(dist_s.min()) >= 0.0

@@ -80,7 +80,8 @@ def build_model(args, ds: PointDataset):
     if args.model in ("DGCNN",):
         kwargs.update(k=args.k, spatial_transformer=args.transformer,
                       dynamic=not args.static,
-                      image_feat_module=args.img_feat_extractor)
+                      image_feat_module=args.img_feat_extractor,
+                      knn_recall=getattr(args, "knn_recall", None))
     elif args.model == "PointNet":
         kwargs.update(spatial_transform=args.transformer)
     return cls(**kwargs)
