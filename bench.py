@@ -198,11 +198,11 @@ def main():
     dimg = jax.device_put(img)
     dmask = jax.device_put(mask.astype(bool))
 
-    def time_fused(vol, mode, reps=3):
+    def time_fused(vol, mode, reps=3, apply=None, approx=False):
         def once(seed):
-            return segment_case(vol, dmask, biased_apply, variables,
+            return segment_case(vol, dmask, apply or biased_apply, variables,
                                 jax.random.PRNGKey(seed), kp_mode=mode,
-                                center_x=SHAPE[2] / 2)
+                                center_x=SHAPE[2] / 2, approx_top_k=approx)
 
         res = once(0)                          # compile + warm up
         times = []
@@ -216,6 +216,27 @@ def main():
     n_fused_tris = [int(v.sum()) for _, v in fused_res.meshes]
     assert fused_res.labelmap.any(), "fused pipeline produced empty labelmap"
     fused_hessian_seconds, _ = time_fused(dimg, "enhancement")
+
+    # fast serving variant: bf16 compute (argmax-parity, tests/test_bf16.py),
+    # approx graph build (recall_target 0.9 -> measured 0.97 recall) and the
+    # approx detector top-k (the reference randomly subsamples past MAX_KPTS
+    # anyway). Same params; exact-vs-fast Dice/ASSD deltas recorded in
+    # README ("End-to-end accuracy on TPU").
+    model_fast = DGCNNSeg(k=40, in_features=3, num_classes=4, dynamic=False,
+                          dtype=jnp.bfloat16, knn_recall=0.9)
+
+    def biased_apply_fast(variables, x, train=False):
+        logits = model_fast.apply(variables, x, train=train)
+        z, xg = x[..., 2], x[..., 0]
+        for c, (m, w, side) in enumerate(_zb, start=1):
+            band = (jnp.abs(z - m) < w) & (xg * side > 0)
+            logits = logits.at[..., c].add(jnp.where(band, 50.0, 0.0))
+        return logits
+
+    fused_fast_seconds, fast_res = time_fused(dimg, "foerstner",
+                                              apply=biased_apply_fast,
+                                              approx=True)
+    assert fast_res.labelmap.any(), "fast pipeline produced empty labelmap"
 
     REPS = 5
 
@@ -368,6 +389,9 @@ def main():
         "vs_baseline": round(REFERENCE_CASE_SECONDS / case_seconds, 3),
         "details": {
             **train_metrics,
+            "fused_fast_s_per_case": round(fused_fast_seconds, 4),
+            "fused_fast_vs_baseline": round(
+                REFERENCE_CASE_SECONDS / fused_fast_seconds, 3),
             "hessian_pipeline_s_per_case": round(hessian_case_seconds, 4),
             "hessian_vs_baseline": round(
                 REFERENCE_HESSIAN_SECONDS / hessian_case_seconds, 1),

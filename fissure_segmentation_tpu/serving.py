@@ -53,11 +53,11 @@ class CaseResult:
     static_argnames=("apply_fn", "kp_mode", "max_kpts", "sample_points",
                      "n_runs_min", "subset_batch", "grid_res", "sig",
                      "k_normals", "max_tris", "num_fg_classes",
-                     "fissure_mu", "fissure_sigma"))
+                     "fissure_mu", "fissure_sigma", "approx_top_k"))
 def _device_case(vol, mask, variables, rng, *, apply_fn, kp_mode, max_kpts,
                  sample_points, n_runs_min, subset_batch, grid_res, sig,
                  k_normals, max_tris, num_fg_classes, fissure_mu,
-                 fissure_sigma):
+                 fissure_sigma, approx_top_k=False):
     """Device half of a case: detector + ensemble + PSR + marching tets.
 
     `vol` is the CT volume (foerstner/enhancement modes) or the pre-seg CNN
@@ -65,7 +65,8 @@ def _device_case(vol, mask, variables, rng, *, apply_fn, kp_mode, max_kpts,
     """
     if kp_mode == "foerstner":
         kpts, valid, _ = foerstner_keypoints(vol, mask, sigma=0.5, d=5,
-                                             thresh=1e-8, max_kpts=max_kpts)
+                                             thresh=1e-8, max_kpts=max_kpts,
+                                             approx_top_k=approx_top_k)
         shape = vol.shape
     elif kp_mode == "enhancement":
         enh = hessian_fissure_enhancement(vol, fissure_mu=fissure_mu,
@@ -109,7 +110,8 @@ def segment_case(vol, mask, apply_fn, variables, rng, *,
                  rights=None, center_x: float | None = None,
                  lung_mask_filter: np.ndarray | None = None,
                  mask_dilate_radius: int = 1, crop_to_bbox: bool = True,
-                 make_labelmap: bool = True) -> CaseResult:
+                 make_labelmap: bool = True,
+                 approx_top_k: bool = False) -> CaseResult:
     """Segment one CT case end-to-end (train.py:179-321 serving chain).
 
     :param vol: (D, H, W) CT volume at unit spacing — or, for
@@ -121,6 +123,10 @@ def segment_case(vol, mask, apply_fn, variables, rng, *,
         (default: fissure convention [False, True, True][:num_fg_classes])
     :param lung_mask_filter: optional mask restricting the fitted meshes
         (reference mask_out_verts_from_mesh, train.py:300)
+    :param approx_top_k: use the TPU two-stage `approx_max_k` for the
+        Förstner keypoint extraction instead of the exact masked top-k
+        (~0.95 recall; the reference itself randomly subsamples past
+        MAX_KPTS, keypoint_extraction.py:144-151)
     :param center_x: left/right split plane in voxels for component selection
     :return: CaseResult with host-side keypoints, labels, per-class meshes
         (world xyz) and optionally the rasterized labelmap.
@@ -136,7 +142,7 @@ def segment_case(vol, mask, apply_fn, variables, rng, *,
         subset_batch=subset_batch, grid_res=tuple(grid_res), sig=sig,
         k_normals=k_normals, max_tris=max_tris,
         num_fg_classes=num_fg_classes, fissure_mu=fissure_mu,
-        fissure_sigma=fissure_sigma)
+        fissure_sigma=fissure_sigma, approx_top_k=approx_top_k)
     kpts_q, valid_bits, pred, inside_bits, tris_q, n_tris = jax.device_get(out)
 
     valid = np.unpackbits(valid_bits, count=max_kpts).astype(bool)
