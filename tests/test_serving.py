@@ -150,3 +150,20 @@ def test_cnn_mode_runs(case):
                        jax.random.PRNGKey(4), kp_mode="cnn", **CFG)
     assert len(res.kpts) > 0
     assert res.labelmap.shape == SHAPE
+
+
+def test_approx_top_k_mode_runs(case):
+    """Fast serving variant: approx detector top-k (lax.approx_max_k) must
+    produce a structurally equivalent result — same shapes, high keypoint
+    overlap with the exact path (recall_target ~0.95 on real data; on this
+    tiny volume the top-k is not saturated, so overlap is near-total)."""
+    img, mask, model, variables = case
+    rng = jax.random.PRNGKey(7)
+    exact = _run(case, rng)
+    approx = segment_case(img, mask, model.apply, variables, rng,
+                          center_x=SHAPE[2] / 2, approx_top_k=True, **CFG)
+    assert approx.kpts.shape[1] == 3 and len(approx.meshes) == 3
+    ek = {tuple(k) for k in exact.kpts}
+    ak = {tuple(k) for k in approx.kpts}
+    recall = len(ek & ak) / max(1, len(ek))
+    assert recall > 0.9, recall
