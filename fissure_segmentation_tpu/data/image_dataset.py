@@ -117,12 +117,45 @@ def random_patch_crop(rng: np.random.Generator, img: np.ndarray,
     return img[sl], label[sl]
 
 
+_ELASTIC_SIGMA = 12.0  # voxels; midpoint of batchgenerators' default sigma=(10., 13.)
+
+
+def elastic_displacement_field(rng: jax.Array, patch_shape, alpha) -> jnp.ndarray:
+    """Random smooth displacement field, (D, H, W, 3) voxel offsets.
+
+    The reference's batchgenerators `SpatialTransform(do_elastic_deform=True,
+    alpha=(0., 1000.))` (augmentations.py:36-38) smooths full-resolution
+    U(-1, 1) noise with a Gaussian (default sigma=(10., 13.)) and scales by
+    alpha, giving a homogeneous field with
+    std = alpha * sqrt(1/3) * (2*sigma*sqrt(pi))**-1.5 (~2.1 voxels at
+    alpha=1000) and correlation length ~sigma. The TPU formulation draws
+    i.i.d. normal control points on a coarse grid of spacing ~sigma and
+    trilinearly upsamples — same std and correlation length, one
+    `jax.image.resize` instead of nine long-tap Gaussian conv passes, and
+    jit-friendly (the coarse grid shape is static; only alpha is traced).
+    """
+    target_std = alpha * np.sqrt(1.0 / 3.0) \
+        * (2.0 * _ELASTIC_SIGMA * np.sqrt(np.pi)) ** -1.5
+    # trilinear interpolation of unit i.i.d. noise keeps on average
+    # (E[t^2+(1-t)^2])^3 = (2/3)^3 of the variance between control points
+    ctrl_std = target_std / (2.0 / 3.0) ** 1.5
+    grid = tuple(max(2, round(s / _ELASTIC_SIGMA) + 1) for s in patch_shape)
+    noise = jax.random.normal(rng, (3, *grid)) * ctrl_std
+    field = jax.image.resize(noise, (3, *patch_shape), method="linear")
+    return jnp.moveaxis(field, 0, -1)
+
+
 def _warp_coords(rng: jax.Array, patch_shape,
-                 rotation_amount: float = 0.26, scale_amount: float = 0.15):
-    """Random rotation+scale index-coordinate field for one patch,
-    (3, D, H, W) zyx coordinates around the patch center."""
+                 rotation_amount: float = 0.26, scale_amount: float = 0.15,
+                 elastic_alpha=None):
+    """Random (elastic+)rotation+scale index-coordinate field for one patch,
+    (D, H, W, 3) zyx coordinates around the patch center.
+
+    Composition order matches batchgenerators' augment_spatial: the elastic
+    offsets are added to the centered mesh first, then rotated and scaled
+    (reference augmentations.py:36-41 semantics)."""
     from .augmentation import so3_exp_map
-    r_rot, r_scale = jax.random.split(rng)
+    r_rot, r_scale, r_el = jax.random.split(rng, 3)
     v = jax.random.uniform(r_rot, (3,)) * 2 - 1
     axis = v / jnp.maximum(jnp.linalg.norm(v), 1e-8)
     angle = (jax.random.uniform(r_rot, ()) * 2 - 1) * rotation_amount
@@ -133,22 +166,38 @@ def _warp_coords(rng: jax.Array, patch_shape,
                               indexing="ij")
     center = jnp.asarray([(d - 1) / 2, (h - 1) / 2, (w - 1) / 2])
     pts = jnp.stack([zz, yy, xx], -1).astype(jnp.float32) - center
+    if elastic_alpha is not None:
+        pts = pts + elastic_displacement_field(r_el, patch_shape, elastic_alpha)
     warped = (pts.reshape(-1, 3) @ rot) * scale + center
     return warped.reshape(d, h, w, 3)
 
 
 def augment_image_batch(rng: jax.Array, imgs: jnp.ndarray, labels: jnp.ndarray,
                         mirror_axes=(0, 1, 2), p_rotscale: float = 0.4,
-                        noise_std: float = 0.02):
+                        noise_std: float = 0.02,
+                        elastic_alpha: tuple | None = (0.0, 1000.0)):
     """Device-side spatial + intensity augmentation of an image/label patch
-    batch (B, D, H, W) — the reference's batchgenerators SpatialTransform +
-    Mirror + noise chain (augmentations.py:29-49), jit-compiled.
+    batch (B, D, H, W) — the reference's batchgenerators SpatialTransform
+    (elastic + rotation + scale, augmentations.py:36-41) + Mirror + noise
+    chain (augmentations.py:29-49), jit-compiled.
+
+    `elastic_alpha`: per-sample deformation magnitude drawn U(lo, hi)
+    (reference alpha=(0., 1000.)); None disables elastic deformation. The
+    whole spatial warp (elastic+affine) is gated per sample by `p_rotscale`;
+    labels are warped order-0, the image order-1.
     """
     b = imgs.shape[0]
-    r_warp, r_gate, r_mirror, r_noise = jax.random.split(rng, 4)
+    r_warp, r_gate, r_mirror, r_noise, r_alpha = jax.random.split(rng, 5)
+    if elastic_alpha is not None:
+        lo, hi = elastic_alpha
+        alphas = jax.random.uniform(r_alpha, (b,), minval=lo, maxval=hi)
+    else:
+        alphas = jnp.zeros((b,))
 
-    def _one(r, img, lbl, gate):
-        coords = _warp_coords(r, img.shape)
+    def _one(r, img, lbl, gate, alpha):
+        coords = _warp_coords(
+            r, img.shape,
+            elastic_alpha=alpha if elastic_alpha is not None else None)
         czyx = jnp.moveaxis(coords, -1, 0)
         img_w = jax.scipy.ndimage.map_coordinates(img, list(czyx), order=1,
                                                   mode="nearest")
@@ -160,7 +209,8 @@ def augment_image_batch(rng: jax.Array, imgs: jnp.ndarray, labels: jnp.ndarray,
         return img, lbl
 
     gates = jax.random.uniform(r_gate, (b,)) < p_rotscale
-    imgs, labels = jax.vmap(_one)(jax.random.split(r_warp, b), imgs, labels, gates)
+    imgs, labels = jax.vmap(_one)(jax.random.split(r_warp, b), imgs, labels,
+                                  gates, alphas)
 
     # random mirroring, consistent between image and label
     flips = jax.random.uniform(r_mirror, (b, 3)) < 0.5

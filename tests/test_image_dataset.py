@@ -79,6 +79,51 @@ def test_augment_image_batch():
     assert not np.allclose(np.asarray(out_i), np.asarray(imgs))
 
 
+def test_elastic_displacement_field_statistics():
+    """The coarse-grid field matches batchgenerators' full-res-noise+Gaussian
+    field in magnitude (std) and correlation length (augmentations.py:36-38,
+    alpha=1000, sigma~12)."""
+    from fissure_segmentation_tpu.data.image_dataset import (
+        _ELASTIC_SIGMA, elastic_displacement_field)
+    alpha = 1000.0
+    field = np.asarray(elastic_displacement_field(
+        jax.random.PRNGKey(3), (48, 48, 48), alpha))
+    assert field.shape == (48, 48, 48, 3)
+    target_std = alpha * np.sqrt(1 / 3) * (2 * _ELASTIC_SIGMA * np.sqrt(np.pi)) ** -1.5
+    assert abs(field.std() / target_std - 1.0) < 0.35  # ~2.1 voxels at alpha=1000
+    # smooth over ~sigma: adjacent voxels nearly identical, far voxels decorrelated
+    adj = np.corrcoef(field[:-1].ravel(), field[1:].ravel())[0, 1]
+    far = np.corrcoef(field[:, :, :16].ravel(), field[:, :, 32:].ravel())[0, 1]
+    assert adj > 0.95 and abs(far) < 0.3
+    # alpha=0 disables the deformation entirely
+    zero = np.asarray(elastic_displacement_field(jax.random.PRNGKey(3), (16,) * 3, 0.0))
+    assert np.abs(zero).max() == 0.0
+
+
+def test_augment_elastic_label_consistency():
+    """Elastic warp keeps image (order-1) and label (order-0) aligned, and the
+    per-sample gate leaves ungated samples untouched."""
+    z = np.linspace(-1, 1, 24, dtype=np.float32)
+    blob = np.exp(-(z[:, None, None] ** 2 + z[None, :, None] ** 2
+                    + z[None, None, :] ** 2) / 0.18)
+    imgs = jnp.asarray(np.stack([blob, blob]))
+    lbls = jnp.asarray((imgs > 0.5).astype(np.int32))
+    out_i, out_l = jax.jit(lambda r, x, y: augment_image_batch(
+        r, x, y, p_rotscale=1.0, noise_std=0.0,
+        elastic_alpha=(900.0, 1000.0)))(jax.random.PRNGKey(5), imgs, lbls)
+    # the warp moved the boundary...
+    assert (np.asarray(out_l) != np.asarray(lbls)).any()
+    # ...but image and label moved together
+    agree = ((np.asarray(out_i) > 0.5) == (np.asarray(out_l) > 0)).mean()
+    assert agree > 0.97
+    # gate off (p_rotscale=0) + no noise + elastic on -> spatial identity up to mirroring
+    same_i, same_l = jax.jit(lambda r, x, y: augment_image_batch(
+        r, x, y, mirror_axes=(), p_rotscale=0.0, noise_std=0.0))(
+            jax.random.PRNGKey(5), imgs, lbls)
+    np.testing.assert_allclose(np.asarray(same_i), np.asarray(imgs))
+    np.testing.assert_array_equal(np.asarray(same_l), np.asarray(lbls))
+
+
 def test_image_dataset_batches_and_split(img_cases):
     ds = ImageDataset([c["image"] for c in img_cases],
                       [c["labels"] for c in img_cases],
