@@ -87,6 +87,11 @@ def get_generic_parser(description: str):
     parser.add_argument("--dp", const=True, default=False, nargs="?",
                         help="data-parallel training: shard the batch over "
                              "all local devices (batch must be divisible)")
+    parser.add_argument("--visualize", default=None, type=int, nargs="?",
+                        const=1, metavar="EVERY",
+                        help="render the validation batch every EVERY epochs "
+                             "(default 1 when given) to fold_dir/"
+                             "visualizations/ (model_trainer.py:35-39 hook)")
     add_training_parameters(parser)
     add_data_parameters(parser)
     add_test_parameters(parser)

@@ -108,6 +108,8 @@ class ModelTrainer:
                  init_fn: Callable | None = None,
                  init_input=None, epoch_in_loss: bool = False,
                  epoch_callback: Callable | None = None,
+                 visualization_fn: Callable | None = None,
+                 visualize_every: int = 1,
                  mesh=None, mesh_axis: str = "data"):
         """`mesh`: optional jax.sharding.Mesh — trains data-parallel with
         the batch axis sharded over `mesh_axis` (params/optimizer state
@@ -126,6 +128,11 @@ class ModelTrainer:
         self.cfg = config
         self.epoch_in_loss = epoch_in_loss
         self.epoch_callback = epoch_callback
+        # per-epoch rendering hook (reference model_trainer.py:35-39,134-136):
+        # called after validation as fn(x, y, output, epoch, out_dir) with
+        # host numpy arrays of the validation batch
+        self.visualization_fn = visualization_fn
+        self.visualize_every = visualize_every
         os.makedirs(out_dir, exist_ok=True)
 
         # inner 80/20 random train/val split of the fold's training set
@@ -203,6 +210,13 @@ class ModelTrainer:
         else:
             self._epoch_fn = jax.jit(self._epoch, donate_argnums=(0, 1, 2))
             self._val_fn = jax.jit(self._validate)
+        self._vis_fn = None
+        if self.visualization_fn is not None:
+            def _vis(params, batch_stats, case_idx, rng):
+                x, y = self.batch_fn(rng, case_idx, False)
+                out, _ = self._apply(params, batch_stats, x, False)
+                return x, y, out
+            self._vis_fn = jax.jit(_vis)
 
     def _shard_batch_idx(self, idx: jnp.ndarray, batch_dim: int):
         """Place a (…, batch) index array with the batch axis sharded over
@@ -373,6 +387,16 @@ class ModelTrainer:
                 val_vals = train_vals
             self._record(self.validation_history, val_vals, epoch)
             val_total = float(val_vals["total_loss"])
+
+            # per-epoch visualization of the validation batch
+            # (model_trainer.py:134-136 parity; opt-in, host-side)
+            if (self._vis_fn is not None and self.val_indices
+                    and (epoch + 1) % self.visualize_every == 0):
+                vx, vy, vout = jax.device_get(self._vis_fn(
+                    params, batch_stats,
+                    self._shard_batch_idx(jnp.asarray(self.val_indices), 0),
+                    k_val))
+                self.visualization_fn(vx, vy, vout, epoch, self.out_dir)
 
             if cfg.scheduler == "plateau":
                 opt_state.hyperparams["learning_rate"] = self.scheduler.step(val_total)

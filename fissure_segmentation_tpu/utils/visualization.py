@@ -96,6 +96,36 @@ def plot_point_cloud(pc: np.ndarray, labels: np.ndarray | None = None,
     _finish(fig, path, show)
 
 
+def point_seg_visualization(x: np.ndarray, y, out, epoch: int, out_dir: str):
+    """Default per-epoch trainer visualization (the reference ModelTrainer's
+    `visualization_fn` hook, model_trainer.py:35-39,134-136): ground truth vs
+    predicted labels of the first validation cloud, written to
+    `<out_dir>/visualizations/epoch{N}.png`.
+
+    :param x: (B, N, F) validation batch, first 3 features = xyz coords
+    :param y: (B, N) int labels (pytree targets: first leaf is used)
+    :param out: (B, N, C) logits (pytree outputs: first leaf is used)
+    """
+    import jax
+    plt = _plt()
+    y = jax.tree.leaves(y)[0]
+    out = jax.tree.leaves(out)[0]
+    pc = np.asarray(x)[0, :, :3]
+    gt = np.asarray(y)[0]
+    pred = np.argmax(np.asarray(out)[0], axis=-1)
+    fig = plt.figure(figsize=(10, 5))
+    for i, (lab, title) in enumerate([(gt, "ground truth"),
+                                      (pred, f"prediction (epoch {epoch})")]):
+        ax = fig.add_subplot(1, 2, i + 1, projection="3d")
+        for lbl in np.unique(lab):
+            m = lab == lbl
+            point_cloud_on_axis(ax, pc[m],
+                                c=color_for_label(lbl) if lbl else "lightgray",
+                                alpha=0.6 if lbl else 0.1, title=title)
+    path = os.path.join(out_dir, "visualizations", f"epoch{epoch}.png")
+    _finish(fig, path, show=False)
+
+
 def plot_meshes(meshes, path: str | None = None, show: bool = False,
                 title: str = ""):
     """List of (tris, valid) soups on one 3-D axis."""

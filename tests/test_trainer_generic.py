@@ -46,6 +46,32 @@ def test_epoch_in_loss_and_callback(tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "model.fst"))
 
 
+def test_visualization_hook(tmp_path):
+    """Per-epoch visualization parity (model_trainer.py:35-39,134-136):
+    the hook fires every `visualize_every` epochs with host arrays of the
+    validation batch, and the default renderer writes a PNG per call."""
+    from fissure_segmentation_tpu.utils.visualization import \
+        point_seg_visualization
+    ds = _tiny_ds()
+    model = DGCNNSeg(k=8, in_features=3, num_classes=4, dynamic=False)
+    loss_fn = get_loss_fn("nnunet", jnp.asarray(ds.get_class_weights()))
+    calls = []
+
+    def vis(x, y, out, epoch, out_dir):
+        assert isinstance(x, np.ndarray) and x.shape[-1] == 3
+        assert out.shape[:2] == y.shape and out.shape[-1] == 4
+        calls.append(epoch)
+        point_seg_visualization(x, y, out, epoch, out_dir)
+
+    cfg = TrainConfig(epochs=3, batch_size=2, val_split=0.34, show_every=10)
+    tr = ModelTrainer(model, ds, loss_fn, str(tmp_path), cfg,
+                      visualization_fn=vis, visualize_every=2)
+    tr.run()
+    assert calls == [1]  # (epoch+1) % 2 == 0 -> epoch 1 only
+    assert os.path.exists(os.path.join(str(tmp_path), "visualizations",
+                                       "epoch1.png"))
+
+
 @pytest.mark.slow
 def test_checkpoint_resume(tmp_path):
     ds = _tiny_ds()

@@ -162,9 +162,16 @@ def run(args):
         if getattr(args, "dp", False) and len(jax.devices()) > 1:
             from fissure_segmentation_tpu.parallel import make_mesh
             mesh = make_mesh(("data",))
+        vis_fn, vis_every = None, 1
+        if getattr(args, "visualize", None):
+            from fissure_segmentation_tpu.utils.visualization import \
+                point_seg_visualization
+            vis_fn, vis_every = point_seg_visualization, int(args.visualize)
         trainer = ModelTrainer(model, train_ds, loss_fn, fold_dir,
                                TrainConfig(**{**cfg.__dict__,
                                               "seed": cfg.seed + fold}),
+                               visualization_fn=vis_fn,
+                               visualize_every=vis_every,
                                mesh=mesh)
         trainer.run()
 
