@@ -717,7 +717,31 @@ def test_point_transformer_seg_forward_matches_reference(rng):
     tm = ref.PointTransformerSeg(ref.PointTransformerBlock, [1, 1, 1, 1, 1],
                                  c=4, k=3)
     _randomize_bn_buffers(tm, rng)
+    variables = _pt_seg_variables(tm)
 
+    n = 4096  # stage sizes 4096/1024/256/64/16 keep every kNN >= nsample
+    p_np = rng.normal(size=(n, 3)).astype("f4")
+    f_np = rng.normal(size=(n, 1)).astype("f4")
+
+    tm.eval()
+    with torch.no_grad():
+        out_t = t2n(tm([torch.from_numpy(p_np), torch.from_numpy(f_np),
+                        torch.tensor([n])]))
+
+    x = np.concatenate([p_np, f_np], -1)[None]  # (1, N, 4), coords first
+    jm = PointTransformerSeg(in_features=4, num_classes=3,
+                             blocks=(1, 1, 1, 1, 1))
+    init_vars = jm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    assert _tree_paths(init_vars) == _tree_paths(variables)
+    with jax.default_matmul_precision("float32"):
+        out_j = np.asarray(jm.apply(variables, jnp.asarray(x),
+                                    train=False))[0]
+    np.testing.assert_allclose(out_j, out_t, rtol=5e-4, atol=5e-4)
+
+
+def _pt_seg_variables(tm):
+    """Full PointTransformerSeg weight tree (seg_model.py:145-211) -> our
+    flax variables (shared by the forward and gradient parity tests)."""
     def lin(m):
         d = {"kernel": t2n(m.weight).T.copy()}
         if m.bias is not None:
@@ -758,26 +782,70 @@ def test_point_transformer_seg_forward_matches_reference(rng):
     params["BatchNorm_0"] = p
     stats["BatchNorm_0"] = s
     params["Dense_1"] = lin(tm.cls[3])
-    variables = {"params": params, "batch_stats": stats}
+    return {"params": params, "batch_stats": stats}
 
-    n = 4096  # stage sizes 4096/1024/256/64/16 keep every kNN >= nsample
+
+@pytest.mark.slow
+def test_point_transformer_seg_gradients_match_reference(rng):
+    """FULL-model backward parity for PointTransformerSeg: with copied
+    weights and the same scalar loss, every parameter gradient must match
+    torch autograd — pinning the FPS index sequences, kNN-gather transposes
+    (scatter-add), inverse-distance interpolation backward and the summit
+    global-context path end-to-end (VERDICT r2 item 7; layer-level grads are
+    covered separately above)."""
+    import copy
+
+    ref = import_ref("models.pointtransformer.seg_model")
+    from fissure_segmentation_tpu.models.point_transformer import \
+        PointTransformerSeg
+
+    _install_pointops_shims(ref)
+    torch.manual_seed(9)
+    tm = ref.PointTransformerSeg(ref.PointTransformerBlock, [1, 1, 1, 1, 1],
+                                 c=4, k=3)
+    _randomize_bn_buffers(tm, rng)
+    variables = _pt_seg_variables(tm)
+
+    n = 4096
     p_np = rng.normal(size=(n, 3)).astype("f4")
     f_np = rng.normal(size=(n, 1)).astype("f4")
+    w_np = rng.normal(size=(n, 3)).astype("f4")
 
     tm.eval()
-    with torch.no_grad():
-        out_t = t2n(tm([torch.from_numpy(p_np), torch.from_numpy(f_np),
-                        torch.tensor([n])]))
+    out_t = tm([torch.from_numpy(p_np), torch.from_numpy(f_np),
+                torch.tensor([n])])
+    loss_t = (out_t * torch.from_numpy(w_np)).mean()
+    loss_t.backward()
+    clone = copy.deepcopy(tm)
+    for pc, pp in zip(clone.parameters(), tm.parameters()):
+        pc.data = pp.grad if pp.grad is not None else torch.zeros_like(pp)
+    grads_t = _pt_seg_variables(clone)["params"]
 
-    x = np.concatenate([p_np, f_np], -1)[None]  # (1, N, 4), coords first
+    x = np.concatenate([p_np, f_np], -1)[None]
     jm = PointTransformerSeg(in_features=4, num_classes=3,
                              blocks=(1, 1, 1, 1, 1))
-    init_vars = jm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
-    assert _tree_paths(init_vars) == _tree_paths(variables)
+
+    def loss_j(prm):
+        out = jm.apply({"params": prm,
+                        "batch_stats": variables["batch_stats"]},
+                       jnp.asarray(x), train=False)
+        return jnp.mean(out[0] * jnp.asarray(w_np))
+
     with jax.default_matmul_precision("float32"):
-        out_j = np.asarray(jm.apply(variables, jnp.asarray(x),
-                                    train=False))[0]
-    np.testing.assert_allclose(out_j, out_t, rtol=5e-4, atol=5e-4)
+        loss_val, grads_j = jax.value_and_grad(loss_j)(variables["params"])
+    # 5 encoder/decoder stages of f32 accumulation-order differences: the
+    # scalar loss agrees to ~5e-5 rel (forward parity is pinned at 5e-4 by
+    # the test above); the per-parameter gradients are the assertion here
+    np.testing.assert_allclose(float(loss_val), float(loss_t.detach()),
+                               rtol=2e-4)
+    flat_t = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_flatten_with_path(grads_t)[0]}
+    flat_j = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_flatten_with_path(grads_j)[0]}
+    assert flat_t.keys() == flat_j.keys()
+    for key in flat_t:
+        np.testing.assert_allclose(np.asarray(flat_j[key]), flat_t[key],
+                                   rtol=1e-3, atol=1e-5, err_msg=key)
 
 
 def _mlp_block(block):
