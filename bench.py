@@ -148,13 +148,17 @@ def main():
         _zb.append((float(g[:, 2].mean()), float(2 * g[:, 2].std() + 0.02),
                     float(np.sign(g[:, 0].mean()))))
 
-    def biased_apply(variables, x, train=False):
-        logits = model.apply(variables, x, train=train)
-        z, xg = x[..., 2], x[..., 0]
-        for c, (m, w, side) in enumerate(_zb, start=1):
-            band = (jnp.abs(z - m) < w) & (xg * side > 0)
-            logits = logits.at[..., c].add(jnp.where(band, 50.0, 0.0))
-        return logits
+    def make_biased_apply(m):
+        def biased_apply(variables, x, train=False):
+            logits = m.apply(variables, x, train=train)
+            z, xg = x[..., 2], x[..., 0]
+            for c, (mu, w, side) in enumerate(_zb, start=1):
+                band = (jnp.abs(z - mu) < w) & (xg * side > 0)
+                logits = logits.at[..., c].add(jnp.where(band, 50.0, 0.0))
+            return logits
+        return biased_apply
+
+    biased_apply = make_biased_apply(model)
 
     def ensemble_from_kpts(kpts, valid, rng):
         world = kpts[:, ::-1].astype(jnp.float32)        # zyx -> xyz voxel
@@ -214,6 +218,11 @@ def main():
 
     fused_case_seconds, fused_res = time_fused(dimg, "foerstner")
     n_fused_tris = [int(v.sum()) for _, v in fused_res.meshes]
+    # every foreground class must come out as a real mesh — an empty class
+    # means the extraction budget or the class routing broke, and the PSR/MT
+    # stage timing would no longer reflect a trained model's load
+    assert all(n > 0 for n in n_fused_tris), \
+        f"empty fused mesh class: {n_fused_tris}"
     assert fused_res.labelmap.any(), "fused pipeline produced empty labelmap"
     fused_hessian_seconds, _ = time_fused(dimg, "enhancement")
 
@@ -224,14 +233,7 @@ def main():
     # README ("End-to-end accuracy on TPU").
     model_fast = DGCNNSeg(k=40, in_features=3, num_classes=4, dynamic=False,
                           dtype=jnp.bfloat16, knn_recall=0.9)
-
-    def biased_apply_fast(variables, x, train=False):
-        logits = model_fast.apply(variables, x, train=train)
-        z, xg = x[..., 2], x[..., 0]
-        for c, (m, w, side) in enumerate(_zb, start=1):
-            band = (jnp.abs(z - m) < w) & (xg * side > 0)
-            logits = logits.at[..., c].add(jnp.where(band, 50.0, 0.0))
-        return logits
+    biased_apply_fast = make_biased_apply(model_fast)
 
     fused_fast_seconds, fast_res = time_fused(dimg, "foerstner",
                                               apply=biased_apply_fast,

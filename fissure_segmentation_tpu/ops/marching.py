@@ -90,7 +90,7 @@ def _slab_valid(phi_slab: jnp.ndarray, iso: float):
     O(slab) + O(max_tris) instead of O(cells*12) 27-float rows.
 
     phi_slab: (sz+1, H, W) plane values for sz cell layers. Returns
-    valid (sz*(H-1)*(W-1)*12,) bool, candidate order = (cell z,y,x, tet, slot).
+    valid (sz, H-1, W-1, 12) bool, candidate order = (cell z,y,x, tet, slot).
     """
     szp, h, w = phi_slab.shape
     sz, cy, cx = szp - 1, h - 1, w - 1
@@ -101,8 +101,7 @@ def _slab_valid(phi_slab: jnp.ndarray, iso: float):
         n_in = sum((x < iso).astype(jnp.int32) for x in tv)   # 0..4
         valid_per_tet.append((n_in >= 1) & (n_in <= 3))       # slot 0
         valid_per_tet.append(n_in == 2)                       # slot 1
-    valid = jnp.stack(valid_per_tet, axis=3)                  # (sz,cy,cx,12)
-    return valid.reshape(-1)
+    return jnp.stack(valid_per_tet, axis=3)                   # (sz,cy,cx,12)
 
 
 def _gather_triangles(phi: jnp.ndarray, gids: jnp.ndarray, iso: float,
@@ -147,7 +146,8 @@ def _gather_triangles(phi: jnp.ndarray, gids: jnp.ndarray, iso: float,
 
 @functools.partial(jax.jit, static_argnames=("max_tris", "iso", "slab_size"))
 def marching_tetrahedra(phi: jnp.ndarray, max_tris: int = 200_000,
-                        iso: float = 0.0, slab_size: int = 8):
+                        iso: float = 0.0, slab_size: int = 8,
+                        cell_mask: jnp.ndarray | None = None):
     """Extract the iso-surface of a (D, H, W) scalar field.
 
     Cells are processed in z-slabs of `slab_size` layers under lax.scan
@@ -156,6 +156,14 @@ def marching_tetrahedra(phi: jnp.ndarray, max_tris: int = 200_000,
     even at 128^3 DPSR grids, for both forward and reverse-mode (the scan
     carries nothing differentiable; gradients flow only through the final
     O(max_tris) gather-reconstruction of the surviving candidates).
+
+    :param cell_mask: optional (D-1, H-1, W-1) bool — cells allowed to emit
+        triangles. The fixed budget is z-order truncated, so when the iso
+        surface extends beyond the region of interest (e.g. the PSR zero set
+        far from any data point) an unmasked extraction can spend the whole
+        budget on z-early junk and drop the real surface; restricting cells
+        up front (the surface-fitting callers pass the point-cloud bbox,
+        mirroring the host crop_to_bbox filter) spends it where it counts.
 
     :return: (tris (max_tris, 3, 3) float zyx vertex coords in voxel units,
               valid (max_tris,) bool, n_tris ())
@@ -173,6 +181,13 @@ def marching_tetrahedra(phi: jnp.ndarray, max_tris: int = 200_000,
         # pad with +inf-ish so padded cells produce no triangles
         phi = jnp.concatenate(
             [phi, jnp.full((pad_d, h, w), 1e30, phi.dtype)], axis=0)
+    if cell_mask is not None:
+        if cell_mask.shape != (d - 1, cy, cx):
+            raise ValueError(f"cell_mask shape {cell_mask.shape} != cell grid "
+                             f"{(d - 1, cy, cx)}")
+        if pad_d:
+            cell_mask = jnp.concatenate(
+                [cell_mask, jnp.zeros((pad_d, cy, cx), bool)], axis=0)
 
     z0s = jnp.arange(n_slabs, dtype=jnp.int32) * slab_size
     phi_nograd = jax.lax.stop_gradient(phi)
@@ -181,7 +196,12 @@ def marching_tetrahedra(phi: jnp.ndarray, max_tris: int = 200_000,
         count, idx_buf = carry
         slab = jax.lax.dynamic_slice_in_dim(phi_nograd, z0, slab_size + 1,
                                             axis=0)
-        valid = _slab_valid(slab, iso)                     # (slab_cand,)
+        valid = _slab_valid(slab, iso)                     # (sz,cy,cx,12)
+        if cell_mask is not None:
+            mslab = jax.lax.dynamic_slice_in_dim(cell_mask, z0, slab_size,
+                                                 axis=0)
+            valid = valid & mslab[..., None]
+        valid = valid.reshape(-1)                          # (slab_cand,)
         vi = valid.astype(jnp.int32)
         pos = count + jnp.cumsum(vi) - 1                   # global out row
         dest = jnp.where(valid & (pos < max_tris), pos, max_tris)

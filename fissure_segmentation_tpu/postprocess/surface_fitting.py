@@ -58,6 +58,32 @@ def keep_largest_component(sign_grid: np.ndarray, right: bool | None = None,
     return labels == keep
 
 
+def _bbox_cell_mask(points_grid_zyx: jnp.ndarray, valid: jnp.ndarray,
+                    grid_res) -> jnp.ndarray:
+    """Cells of the PSR grid that can survive the host bbox crop — the
+    device-side counterpart of _host_mesh_filter's crop_to_bbox. The PSR
+    zero level-set extends arbitrarily far from the data; masking marching
+    tetrahedra to the (valid-)point bbox spends the fixed triangle budget on
+    the actual surface instead of z-early junk (the budget truncates in
+    z-order). A cell is kept iff any of its 8 corners lies in the host's
+    kept voxel box [lo_i, hi_i] (the triangle filter checks the 8 voxel
+    neighbors of each triangle center), so no host-kept triangle is lost.
+    """
+    res = jnp.asarray(grid_res, points_grid_zyx.dtype) - 1
+    g = (points_grid_zyx + 1.0) / 2.0 * res            # (N, 3) zyx cells
+    any_valid = valid.any()
+    big = 4.0 * jnp.max(res)
+    lo = jnp.floor(jnp.min(jnp.where(valid[:, None], g, big), axis=0))
+    hi = jnp.ceil(jnp.max(jnp.where(valid[:, None], g, -big), axis=0))
+    lo = jnp.maximum(lo, 0.0)
+    cells = tuple(r - 1 for r in grid_res)
+    m = any_valid & jnp.ones(cells, bool)
+    for i in range(3):
+        c = jax.lax.broadcasted_iota(jnp.int32, cells, i).astype(lo.dtype)
+        m = m & (c >= lo[i] - 1.0) & (c <= hi[i])
+    return m
+
+
 @functools.partial(jax.jit, static_argnames=("grid_res", "sig", "k_normals"))
 def _psr_grid(points_grid: jnp.ndarray, valid: jnp.ndarray, grid_res, sig,
               k_normals):
@@ -95,7 +121,10 @@ def pointcloud_surface_fitting(points_world: np.ndarray, shape,
     pts_grid = jnp.asarray(kpts_to_grid(points_world, shape)[:, ::-1])
     valid = jnp.ones(pts_grid.shape[0], bool)
     phi = np.asarray(_psr_grid(pts_grid, valid, tuple(grid_res), sig, k_normals))
-    tris, tvalid, _ = marching_tetrahedra(jnp.asarray(phi), max_tris=max_tris)
+    cell_mask = (_bbox_cell_mask(pts_grid, valid, tuple(grid_res))
+                 if crop_to_bbox else None)
+    tris, tvalid, _ = marching_tetrahedra(jnp.asarray(phi), max_tris=max_tris,
+                                          cell_mask=cell_mask)
     return _host_mesh_filter(phi < 0, np.asarray(tris), np.asarray(tvalid),
                              points_world, shape, tuple(grid_res), mask,
                              mask_dilate_radius, right, center_x, crop_to_bbox)
@@ -185,8 +214,11 @@ def _batched_psr_mc(points_grid: jnp.ndarray, valids: jnp.ndarray, grid_res,
     """
     phis = jax.vmap(lambda v: _psr_grid(points_grid, v, grid_res, sig,
                                         k_normals))(valids)
+    masks = jax.vmap(
+        lambda v: _bbox_cell_mask(points_grid, v, grid_res))(valids)
     tris, tvalid, n_tris = jax.vmap(
-        lambda p: marching_tetrahedra(p, max_tris=max_tris))(phis)
+        lambda p, m: marching_tetrahedra(p, max_tris=max_tris,
+                                         cell_mask=m))(phis, masks)
     inside_bits = jnp.packbits((phis < 0).reshape(phis.shape[0], -1), axis=-1)
     tris_q = jnp.round(jnp.clip(tris * _QSCALE, 0, 65535)).astype(jnp.uint16)
     return inside_bits, tris_q, jnp.minimum(n_tris, max_tris)

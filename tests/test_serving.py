@@ -155,8 +155,13 @@ def test_cnn_mode_runs(case):
 def test_approx_top_k_mode_runs(case):
     """Fast serving variant: approx detector top-k (lax.approx_max_k) must
     produce a structurally equivalent result — same shapes, high keypoint
-    overlap with the exact path (recall_target ~0.95 on real data; on this
-    tiny volume the top-k is not saturated, so overlap is near-total)."""
+    overlap with the exact path.
+
+    NOTE: on the CPU test backend `lax.approx_max_k` lowers to *exact*
+    top-k, so this covers the wiring/shape contract only and the recall
+    assertion is near-tautological here; the real approximation is
+    exercised on-device by bench.py (recall 0.97 measured on TPU, PERF.md
+    kNN row) and the fast-vs-exact accuracy artifact in README."""
     img, mask, model, variables = case
     rng = jax.random.PRNGKey(7)
     exact = _run(case, rng)

@@ -57,6 +57,48 @@ def test_surface_fitting_on_synthetic_fissure():
     assert occupied[:, 0].std() > 1.0
 
 
+def test_psr_mesh_quality_bound():
+    """Pin the spectral-PSR accuracy bound measured by
+    scripts/prof/psr_quality_sweep.py (PERF.md "Spectral-PSR mesh quality"):
+    at the serving config (64^3 grid, the reference's octree-depth-6
+    equivalent, surface_fitting.py:87) a synthetic analytic fissure sheet
+    sampled with 1-voxel point noise reconstructs to < 0.5 mm mean analytic
+    point-to-surface distance (sweep measured 0.20 ± 0.01)."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts", "prof"))
+    try:
+        from psr_quality_sweep import one_cell
+    finally:
+        sys.path.pop(0)
+    sampled_assd, analytic = one_cell(seed=0, res=64, sigma=1.0)
+    assert analytic < 0.5, analytic
+    assert sampled_assd < 3.5, sampled_assd  # includes the ~0.6mm metric floor
+
+
+def test_marching_tetrahedra_cell_mask():
+    """cell_mask restricts extraction: masked cells emit no triangles, and
+    the budget is spent inside the mask (the bbox-masked PSR callers depend
+    on this to avoid z-order truncation of the real surface)."""
+    import jax
+    from fissure_segmentation_tpu.ops.marching import marching_tetrahedra
+
+    z = jnp.linspace(-1, 1, 16)
+    phi = jnp.broadcast_to(z[:, None, None], (16, 16, 16))  # plane at z=7.5
+    full, fvalid, fn = marching_tetrahedra(phi, max_tris=4000)
+    mask = jnp.zeros((15, 15, 15), bool).at[:, :8, :].set(True)
+    half, hvalid, hn = marching_tetrahedra(phi, max_tris=4000, cell_mask=mask)
+    assert int(hn) < int(fn) and int(hn) > 0
+    # all surviving triangles lie in masked cells (y < 8)
+    ys = np.asarray(half[np.asarray(hvalid)])[:, :, 1]
+    assert ys.max() <= 8.0
+    # empty mask -> no triangles
+    _, zvalid, zn = marching_tetrahedra(
+        phi, max_tris=4000, cell_mask=jnp.zeros((15, 15, 15), bool))
+    assert int(zn) == 0 and not bool(zvalid.any())
+
+
 def test_batched_fit_matches_per_class():
     """fit_fissure_surfaces (one vmapped dispatch) must reproduce the
     per-class pointcloud_surface_fitting meshes."""
