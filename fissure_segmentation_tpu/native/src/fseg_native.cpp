@@ -335,62 +335,18 @@ void fseg_point_mesh_dist(const float *verts, int64_t nv, const int32_t *tris,
 // tris: (nt, 3, 3) float, xyz *voxel* coordinates; labels every voxel whose
 // unit cube overlaps a valid triangle. Grid is zyx (nz, ny, nx).
 // ---------------------------------------------------------------------------
-static bool axis_test(const float a[3], const float v0[3], const float v1[3],
-                      const float v2[3], const float h[3]) {
-    const float p0 = a[0] * v0[0] + a[1] * v0[1] + a[2] * v0[2];
-    const float p1 = a[0] * v1[0] + a[1] * v1[1] + a[2] * v1[2];
-    const float p2 = a[0] * v2[0] + a[1] * v2[1] + a[2] * v2[2];
-    const float r = h[0] * std::fabs(a[0]) + h[1] * std::fabs(a[1]) +
-                    h[2] * std::fabs(a[2]);
-    const float mn = std::min(p0, std::min(p1, p2));
-    const float mx = std::max(p0, std::max(p1, p2));
-    return mn > r || mx < -r;
-}
-
-static bool tri_box_overlap(const float c[3], const float h[3],
-                            const float *t0, const float *t1, const float *t2) {
-    float v0[3], v1[3], v2[3];
-    for (int k = 0; k < 3; ++k) {
-        v0[k] = t0[k] - c[k];
-        v1[k] = t1[k] - c[k];
-        v2[k] = t2[k] - c[k];
-    }
-    // box-axes tests
-    for (int k = 0; k < 3; ++k) {
-        const float mn = std::min(v0[k], std::min(v1[k], v2[k]));
-        const float mx = std::max(v0[k], std::max(v1[k], v2[k]));
-        if (mn > h[k] || mx < -h[k]) return false;
-    }
-    float e0[3], e1[3], e2[3];
-    for (int k = 0; k < 3; ++k) {
-        e0[k] = v1[k] - v0[k];
-        e1[k] = v2[k] - v1[k];
-        e2[k] = v0[k] - v2[k];
-    }
-    // 9 cross-product axes
-    const float *es[3] = {e0, e1, e2};
-    for (int i = 0; i < 3; ++i) {
-        const float *e = es[i];
-        const float ax0[3] = {0.f, -e[2], e[1]};
-        const float ax1[3] = {e[2], 0.f, -e[0]};
-        const float ax2[3] = {-e[1], e[0], 0.f};
-        if (axis_test(ax0, v0, v1, v2, h)) return false;
-        if (axis_test(ax1, v0, v1, v2, h)) return false;
-        if (axis_test(ax2, v0, v1, v2, h)) return false;
-    }
-    // triangle plane test
-    const float nrm[3] = {e0[1] * e1[2] - e0[2] * e1[1],
-                          e0[2] * e1[0] - e0[0] * e1[2],
-                          e0[0] * e1[1] - e0[1] * e1[0]};
-    const float d = -(nrm[0] * v0[0] + nrm[1] * v0[1] + nrm[2] * v0[2]);
-    const float r = h[0] * std::fabs(nrm[0]) + h[1] * std::fabs(nrm[1]) +
-                    h[2] * std::fabs(nrm[2]);
-    return std::fabs(d) <= r;
-}
-
 void fseg_voxelize_tris(const float *tris, const uint8_t *valid, int64_t nt,
                         int64_t nz, int64_t ny, int64_t nx, uint8_t label,
                         uint8_t *out) {
+    // Per-triangle SAT precomputation: every separating-axis test is
+    //   reject iff  pmin - a.c > r  or  pmax - a.c < -r
+    // with pmin/pmax = min/max_j(a . t_j) and r = h . |a| constant per
+    // triangle, so the inner voxel loop pays one dot product + two compares
+    // per axis. Axis order = plane normal first (the best discriminator for
+    // thin fissure sheets: it rejects the off-plane corners of the bbox),
+    // then the 9 edge axes; the 3 box axes are folded into fractional bbox
+    // bounds up front. Voxels already carrying `label` are skipped — small
+    // adjacent triangles revisit the same cells many times.
     const float h[3] = {0.5f, 0.5f, 0.5f};
     for (int64_t t = 0; t < nt; ++t) {
         if (valid && !valid[t]) continue;
@@ -408,14 +364,61 @@ void fseg_voxelize_tris(const float *tris, const uint8_t *valid, int64_t nt,
         const int64_t y1 = std::min<int64_t>(ny - 1, (int64_t)std::floor(hi[1]));
         const int64_t z0 = std::max<int64_t>(0, (int64_t)std::floor(lo[2]));
         const int64_t z1 = std::min<int64_t>(nz - 1, (int64_t)std::floor(hi[2]));
+
+        // 10 axes: plane normal + 3 edges x 3 coordinate axes
+        float e0[3], e1[3], e2[3];
+        for (int k = 0; k < 3; ++k) {
+            e0[k] = t1[k] - t0[k];
+            e1[k] = t2[k] - t1[k];
+            e2[k] = t0[k] - t2[k];
+        }
+        float axes[10][3];
+        axes[0][0] = e0[1] * e1[2] - e0[2] * e1[1];
+        axes[0][1] = e0[2] * e1[0] - e0[0] * e1[2];
+        axes[0][2] = e0[0] * e1[1] - e0[1] * e1[0];
+        const float *es[3] = {e0, e1, e2};
+        for (int i = 0; i < 3; ++i) {
+            const float *e = es[i];
+            const float a0[3] = {0.f, -e[2], e[1]};
+            const float a1[3] = {e[2], 0.f, -e[0]};
+            const float a2[3] = {-e[1], e[0], 0.f};
+            for (int k = 0; k < 3; ++k) {
+                axes[1 + 3 * i][k] = a0[k];
+                axes[2 + 3 * i][k] = a1[k];
+                axes[3 + 3 * i][k] = a2[k];
+            }
+        }
+        float pmin[10], pmax[10], rr[10];
+        for (int a = 0; a < 10; ++a) {
+            const float *ax = axes[a];
+            const float p0 = ax[0] * t0[0] + ax[1] * t0[1] + ax[2] * t0[2];
+            const float p1 = ax[0] * t1[0] + ax[1] * t1[1] + ax[2] * t1[2];
+            const float p2 = ax[0] * t2[0] + ax[1] * t2[1] + ax[2] * t2[2];
+            pmin[a] = std::min(p0, std::min(p1, p2));
+            pmax[a] = std::max(p0, std::max(p1, p2));
+            rr[a] = h[0] * std::fabs(ax[0]) + h[1] * std::fabs(ax[1]) +
+                    h[2] * std::fabs(ax[2]);
+        }
+
         for (int64_t z = z0; z <= z1; ++z)
-            for (int64_t y = y0; y <= y1; ++y)
+            for (int64_t y = y0; y <= y1; ++y) {
+                uint8_t *row = out + (z * ny + y) * nx;
                 for (int64_t x = x0; x <= x1; ++x) {
+                    if (row[x] == label) continue;
                     const float c[3] = {(float)x + 0.5f, (float)y + 0.5f,
                                         (float)z + 0.5f};
-                    if (tri_box_overlap(c, h, t0, t1, t2))
-                        out[(z * ny + y) * nx + x] = label;
+                    bool overlap = true;
+                    for (int a = 0; a < 10; ++a) {
+                        const float s = axes[a][0] * c[0] +
+                                        axes[a][1] * c[1] + axes[a][2] * c[2];
+                        if (pmin[a] - s > rr[a] || pmax[a] - s < -rr[a]) {
+                            overlap = false;
+                            break;
+                        }
+                    }
+                    if (overlap) row[x] = label;
                 }
+            }
     }
 }
 

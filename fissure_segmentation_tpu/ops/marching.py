@@ -169,6 +169,119 @@ def marching_tetrahedra(phi: jnp.ndarray, max_tris: int = 200_000,
               valid (max_tris,) bool, n_tris ())
     Triangles beyond the budget are dropped (count reported in n_tris).
     """
+    _, out_valid, n_tris, idx_buf, phi_p = _marching_candidates(
+        phi, max_tris, iso, slab_size, cell_mask)
+    out = _gather_triangles(phi_p, idx_buf, iso, phi.shape[1] - 1,
+                            phi.shape[2] - 1)
+    out = jnp.where(out_valid[:, None, None], out, 0.0)
+    return out, out_valid, n_tris
+
+
+def _gather_triangle_keys(phi: jnp.ndarray, gids: jnp.ndarray, iso: float,
+                          cy: int, cx: int):
+    """Edge keys + interpolation fractions for global candidate ids — the
+    transfer-compressed twin of _gather_triangles.
+
+    Every marching-tetrahedra vertex lies on ONE lattice edge (pa, pb) and
+    is shared by every triangle incident on that edge (V/T ~ 0.52 measured),
+    so instead of 3 independent xyz coordinates per triangle corner the
+    vertex is identified by a canonical int32 edge key
+        key = flat(min(pa, pb)) * 27 + dir_code(other - min)
+    (dir components in {-1,0,1}, code = (dz+1)*9+(dy+1)*3+(dx+1); valid for
+    grids up to ~428^3 in int32) plus the fraction along the edge from the
+    lower endpoint. Dedup-by-key then fetches each vertex once.
+
+    :return: (keys (M, 3) int32, fracs (M, 3) float in [0, 1])
+    """
+    cell = gids // 12
+    rem = gids % 12
+    tet, slot = rem // 2, rem % 2
+    x = cell % cx
+    y = (cell // cx) % cy
+    z = cell // (cx * cy)
+
+    corner_ids = jnp.asarray(_TETS, jnp.int32)[tet]            # (M, 4)
+    offs = jnp.asarray(_CORNERS, jnp.int32)[corner_ids]        # (M, 4, 3)
+    vals = phi[z[:, None] + offs[..., 0], y[:, None] + offs[..., 1],
+               x[:, None] + offs[..., 2]]                      # (M, 4)
+    ins = (vals < iso).astype(jnp.int32)
+    case = ins[:, 0] + 2 * ins[:, 1] + 4 * ins[:, 2] + 8 * ins[:, 3]
+    edges = jnp.asarray(_TET_TABLE)[case, slot]                # (M, 3)
+    e = jnp.maximum(edges, 0)
+    ab = jnp.asarray(_TET_EDGES, jnp.int32)[e]                 # (M, 3, 2)
+
+    ar = jnp.arange(gids.shape[0])[:, None, None]
+    vgath = vals[ar, ab]                                       # (M, 3, 2)
+    ogath = offs[ar, ab]                                       # (M, 3, 2, 3) int
+    va, vb = vgath[..., 0], vgath[..., 1]
+    diff = vb - va
+    frac = (iso - va) / jnp.where(jnp.abs(diff) < 1e-12, 1e-12, diff)
+    frac = jnp.clip(frac, 0.0, 1.0)                            # (M, 3)
+
+    base = jnp.stack([z, y, x], -1)[:, None, :]                # (M, 1, 3)
+    pa = base + ogath[:, :, 0, :]                              # (M, 3, 3) zyx
+    pb = base + ogath[:, :, 1, :]
+    h, w = cy + 1, cx + 1
+    flat_a = (pa[..., 0] * h + pa[..., 1]) * w + pa[..., 2]
+    flat_b = (pb[..., 0] * h + pb[..., 1]) * w + pb[..., 2]
+    swap = flat_a > flat_b
+    lo_flat = jnp.where(swap, flat_b, flat_a)
+    d = jnp.where(swap[..., None], pa - pb, pb - pa)           # (M, 3, 3)
+    code = (d[..., 0] + 1) * 9 + (d[..., 1] + 1) * 3 + (d[..., 2] + 1)
+    keys = lo_flat * 27 + code
+    fracs = jnp.where(swap, 1.0 - frac, frac)
+    return keys.astype(jnp.int32), fracs
+
+
+_KEY_SENTINEL = np.int32(2 ** 31 - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_tris", "max_verts", "iso",
+                                             "slab_size"))
+def marching_tetrahedra_packed(phi: jnp.ndarray, max_tris: int = 24000,
+                               max_verts: int = 16384, iso: float = 0.0,
+                               slab_size: int = 8,
+                               cell_mask: jnp.ndarray | None = None):
+    """marching_tetrahedra with a transfer-packed indexed-mesh output.
+
+    Shared vertices are deduplicated by canonical lattice-edge key
+    (sort + first-occurrence ranking, all fixed shapes), so a remote host
+    fetches ``max_verts*(4+2) + max_tris*3*2`` bytes instead of
+    ``max_tris*9*2`` — ~1.8x smaller at the serving budgets, on top of being
+    exact to uint16-fraction precision (~1/65535 of a cell) instead of the
+    1/512-cell fixed-point of the coordinate encoding.
+
+    :return: (idx (max_tris, 3) uint16 vertex indices,
+              vkey (max_verts,) int32 canonical edge keys,
+              vfrac_q (max_verts,) uint16 quantized edge fractions,
+              n_tris (), n_verts ())
+    n_verts > max_verts means vertex-budget overflow (host must reject).
+    Decode: postprocess.surface_fitting._decode_packed_mesh.
+    """
+    _, tvalid, n_tris, idx_buf, phi_p = _marching_candidates(
+        phi, max_tris, iso, slab_size, cell_mask)
+    d, h, w = phi.shape
+    keys, fracs = _gather_triangle_keys(phi_p, idx_buf, iso, h - 1, w - 1)
+
+    flat_k = jnp.where(tvalid[:, None], keys, _KEY_SENTINEL).reshape(-1)
+    order = jnp.argsort(flat_k)
+    sk = flat_k[order]
+    sf = fracs.reshape(-1)[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_verts = jnp.sum(first & (sk != _KEY_SENTINEL))
+    inv = jnp.zeros_like(rank).at[order].set(rank)
+    idx = inv.reshape(-1, 3).astype(jnp.uint16)
+    vkey = jnp.full((max_verts,), _KEY_SENTINEL, jnp.int32) \
+        .at[rank].set(sk, mode="drop")
+    vfrac_q = jnp.zeros((max_verts,), jnp.uint16).at[rank].set(
+        jnp.round(sf * 65535.0).astype(jnp.uint16), mode="drop")
+    return idx, vkey, vfrac_q, jnp.minimum(n_tris, max_tris), n_verts
+
+
+def _marching_candidates(phi, max_tris, iso, slab_size, cell_mask):
+    """Shared slab-scan candidate selection of marching_tetrahedra; returns
+    (None, tvalid, n_tris, idx_buf, padded_phi)."""
     d, h, w = phi.shape
     if min(d, h, w) < 2:
         raise ValueError(f"marching_tetrahedra needs >= 2 samples per axis, "
@@ -178,7 +291,6 @@ def marching_tetrahedra(phi: jnp.ndarray, max_tris: int = 200_000,
     n_slabs = -(-n_layers // slab_size)
     pad_d = n_slabs * slab_size + 1 - d
     if pad_d:
-        # pad with +inf-ish so padded cells produce no triangles
         phi = jnp.concatenate(
             [phi, jnp.full((pad_d, h, w), 1e30, phi.dtype)], axis=0)
     if cell_mask is not None:
@@ -196,14 +308,14 @@ def marching_tetrahedra(phi: jnp.ndarray, max_tris: int = 200_000,
         count, idx_buf = carry
         slab = jax.lax.dynamic_slice_in_dim(phi_nograd, z0, slab_size + 1,
                                             axis=0)
-        valid = _slab_valid(slab, iso)                     # (sz,cy,cx,12)
+        valid = _slab_valid(slab, iso)
         if cell_mask is not None:
             mslab = jax.lax.dynamic_slice_in_dim(cell_mask, z0, slab_size,
                                                  axis=0)
             valid = valid & mslab[..., None]
-        valid = valid.reshape(-1)                          # (slab_cand,)
+        valid = valid.reshape(-1)
         vi = valid.astype(jnp.int32)
-        pos = count + jnp.cumsum(vi) - 1                   # global out row
+        pos = count + jnp.cumsum(vi) - 1
         dest = jnp.where(valid & (pos < max_tris), pos, max_tris)
         shape4 = (slab_size, cy, cx, 12)
         gz = jax.lax.broadcasted_iota(jnp.int32, shape4, 0) + z0
@@ -216,11 +328,8 @@ def marching_tetrahedra(phi: jnp.ndarray, max_tris: int = 200_000,
 
     init = (jnp.int32(0), jnp.zeros((max_tris,), jnp.int32))
     (n_tris, idx_buf), _ = jax.lax.scan(body, init, z0s)
-
-    out = _gather_triangles(phi, idx_buf, iso, cy, cx)
-    out_valid = jnp.arange(max_tris) < jnp.minimum(n_tris, max_tris)
-    out = jnp.where(out_valid[:, None, None], out, 0.0)
-    return out, out_valid, n_tris
+    tvalid = jnp.arange(max_tris) < jnp.minimum(n_tris, max_tris)
+    return None, tvalid, n_tris, idx_buf, phi
 
 
 def triangles_to_mesh(tris: jnp.ndarray):

@@ -11,9 +11,12 @@ subset-ensemble segmentation, per-class spectral PSR and marching tetrahedra
     validity    bit-packed                  (8x)
     labels      uint8                       (4x)
     inside grid bit-packed sign of phi      (512x vs f32 phi)
-    triangles   uint16 fixed-point          (see surface_fitting._QSCALE)
+    meshes      dedup-indexed: uint16 vertex indices + one int32 edge key
+                and uint16 fraction per UNIQUE vertex (V/T ~ 0.52) — ~1.8x
+                smaller than uint16 coordinate soups, and exact to 1/65535
+                of a PSR cell (marching_tetrahedra_packed)
 
-so a full case costs one dispatch + one ~1.5 MB fetch. Host work after the
+so a full case costs one dispatch + one ~0.95 MB fetch. Host work after the
 fetch is only the component/mask filtering of surface_fitting._host_mesh_filter
 (native C++ connected components) and the optional labelmap rasterization.
 
@@ -34,7 +37,8 @@ from .keypoints.extraction import get_cnn_keypoints, get_enhancement_keypoints
 from .keypoints.foerstner import foerstner_keypoints
 from .keypoints.hessian import hessian_fissure_enhancement
 from .models.ensemble import ensemble_predict
-from .postprocess.surface_fitting import (_QSCALE, _batched_psr_mc,
+from .postprocess.surface_fitting import (_batched_psr_mc_packed,
+                                          _decode_packed_mesh,
                                           _host_mesh_filter)
 from .utils.coords import kpts_to_grid
 
@@ -52,12 +56,12 @@ class CaseResult:
     jax.jit,
     static_argnames=("apply_fn", "kp_mode", "max_kpts", "sample_points",
                      "n_runs_min", "subset_batch", "grid_res", "sig",
-                     "k_normals", "max_tris", "num_fg_classes",
+                     "k_normals", "max_tris", "max_verts", "num_fg_classes",
                      "fissure_mu", "fissure_sigma", "approx_top_k"))
 def _device_case(vol, mask, variables, rng, *, apply_fn, kp_mode, max_kpts,
                  sample_points, n_runs_min, subset_batch, grid_res, sig,
                  k_normals, max_tris, num_fg_classes, fissure_mu,
-                 fissure_sigma, approx_top_k=False):
+                 fissure_sigma, approx_top_k=False, max_verts=16384):
     """Device half of a case: detector + ensemble + PSR + marching tets.
 
     `vol` is the CT volume (foerstner/enhancement modes) or the pre-seg CNN
@@ -92,12 +96,13 @@ def _device_case(vol, mask, variables, rng, *, apply_fn, kp_mode, max_kpts,
 
     class_valid = jnp.stack(
         [valid & (pred == c) for c in range(1, num_fg_classes + 1)])
-    inside_bits, tris_q, n_tris = _batched_psr_mc(
-        coords[:, ::-1], class_valid, grid_res, sig, k_normals, max_tris)
+    inside_bits, idx, vkey, vfrac_q, n_tris, n_verts = _batched_psr_mc_packed(
+        coords[:, ::-1], class_valid, grid_res, sig, k_normals, max_tris,
+        max_verts)
 
     return (jnp.clip(kpts, 0, 65535).astype(jnp.uint16),
             jnp.packbits(valid), pred.astype(jnp.uint8),
-            inside_bits, tris_q, n_tris)
+            inside_bits, idx, vkey, vfrac_q, n_tris, n_verts)
 
 
 def segment_case(vol, mask, apply_fn, variables, rng, *,
@@ -105,7 +110,8 @@ def segment_case(vol, mask, apply_fn, variables, rng, *,
                  sample_points: int = 2048, n_runs_min: int = 50,
                  subset_batch: int = 5, grid_res=(64, 64, 64),
                  sig: float = 4.0, k_normals: int = 30,
-                 max_tris: int = 24000, num_fg_classes: int = 3,
+                 max_tris: int = 24000, max_verts: int = 16384,
+                 num_fg_classes: int = 3,
                  fissure_mu: float = -313.5, fissure_sigma: float = 62.6,
                  rights=None, center_x: float | None = None,
                  lung_mask_filter: np.ndarray | None = None,
@@ -140,10 +146,11 @@ def segment_case(vol, mask, apply_fn, variables, rng, *,
         apply_fn=apply_fn, kp_mode=kp_mode, max_kpts=max_kpts,
         sample_points=sample_points, n_runs_min=n_runs_min,
         subset_batch=subset_batch, grid_res=tuple(grid_res), sig=sig,
-        k_normals=k_normals, max_tris=max_tris,
+        k_normals=k_normals, max_tris=max_tris, max_verts=int(max_verts),
         num_fg_classes=num_fg_classes, fissure_mu=fissure_mu,
         fissure_sigma=fissure_sigma, approx_top_k=approx_top_k)
-    kpts_q, valid_bits, pred, inside_bits, tris_q, n_tris = jax.device_get(out)
+    (kpts_q, valid_bits, pred, inside_bits, idx, vkey, vfrac_q, n_tris,
+     n_verts) = jax.device_get(out)
 
     valid = np.unpackbits(valid_bits, count=max_kpts).astype(bool)
     kpts = kpts_q.astype(np.int32)
@@ -160,7 +167,8 @@ def segment_case(vol, mask, apply_fn, variables, rng, *,
             meshes.append((np.zeros((0, 3, 3), np.float32),
                            np.zeros(0, bool)))
             continue
-        tris_i = tris_q[i, :n].astype(np.float32) / _QSCALE
+        tris_i = _decode_packed_mesh(idx[i], vkey[i], vfrac_q[i], n,
+                                     int(n_verts[i]), tuple(grid_res))
         meshes.append(_host_mesh_filter(
             inside[i], tris_i, np.ones(n, bool), pts_c, shape,
             tuple(grid_res), lung_mask_filter, mask_dilate_radius,

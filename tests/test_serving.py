@@ -20,7 +20,7 @@ import pytest
 from fissure_segmentation_tpu.keypoints.foerstner import foerstner_keypoints
 from fissure_segmentation_tpu.models import DGCNNSeg, ensemble_predict
 from fissure_segmentation_tpu.postprocess.surface_fitting import (
-    _QSCALE, _host_mesh_filter, mesh_to_labelmap)
+    _decode_packed_mesh, _host_mesh_filter, mesh_to_labelmap)
 from fissure_segmentation_tpu.serving import _device_case, segment_case
 from fissure_segmentation_tpu.utils.coords import kpts_to_grid
 
@@ -61,7 +61,8 @@ def test_host_half_is_exact_decode_of_device_outputs(case):
         jnp.asarray(img), jnp.asarray(mask), variables, rng,
         apply_fn=model.apply, kp_mode="foerstner", sig=4.0, k_normals=30,
         num_fg_classes=3, fissure_mu=-313.5, fissure_sigma=62.6, **CFG)
-    kpts_q, valid_bits, pred, inside_bits, tris_q, n_tris = jax.device_get(out)
+    (kpts_q, valid_bits, pred, inside_bits, idx, vkey, vfrac_q, n_tris,
+     n_verts) = jax.device_get(out)
 
     valid = np.unpackbits(valid_bits, count=CFG["max_kpts"]).astype(bool)
     kpts = kpts_q.astype(np.int32)
@@ -80,8 +81,10 @@ def test_host_half_is_exact_decode_of_device_outputs(case):
             meshes.append((np.zeros((0, 3, 3), np.float32),
                            np.zeros(0, bool)))
             continue
+        tris_i = _decode_packed_mesh(idx[i], vkey[i], vfrac_q[i], n,
+                                     int(n_verts[i]), CFG["grid_res"])
         meshes.append(_host_mesh_filter(
-            inside[i], tris_q[i, :n].astype(np.float32) / _QSCALE,
+            inside[i], tris_i,
             np.ones(n, bool), pts_c, SHAPE, CFG["grid_res"], None, 1,
             [False, True, True][i], SHAPE[2] / 2, True))
     assert sum(int(v.sum()) for _, v in meshes) > 0

@@ -99,6 +99,38 @@ def test_marching_tetrahedra_cell_mask():
     assert int(zn) == 0 and not bool(zvalid.any())
 
 
+def test_packed_marching_matches_plain():
+    """marching_tetrahedra_packed + host decode reproduces the plain
+    triangle soup exactly (same candidate order; coords within the uint16
+    edge-fraction quantization), with V/T ~ 0.5 vertex sharing."""
+    import jax
+    from fissure_segmentation_tpu.ops.marching import (
+        marching_tetrahedra, marching_tetrahedra_packed)
+    from fissure_segmentation_tpu.postprocess.surface_fitting import \
+        _decode_packed_mesh
+
+    rng = np.random.default_rng(4)
+    base = np.linspace(-1, 1, 24)[:, None, None]
+    phi = jnp.asarray(base + 0.08 * rng.normal(size=(24, 24, 24)),
+                      jnp.float32)
+    tris, valid, n = marching_tetrahedra(phi, max_tris=9000)
+    assert int(n) < 9000  # no truncation: budgets must cover the surface
+    idx, vkey, vfrac, n_p, n_v = marching_tetrahedra_packed(
+        phi, max_tris=9000, max_verts=6000)
+    assert int(n) == int(n_p)
+    dec = _decode_packed_mesh(np.asarray(idx), np.asarray(vkey),
+                              np.asarray(vfrac), int(n), int(n_v),
+                              (24, 24, 24))
+    np.testing.assert_allclose(dec, np.asarray(tris[np.asarray(valid)]),
+                               atol=2e-4)
+    assert int(n_v) < 0.7 * int(n) * 3  # real vertex sharing happened
+    # overflowed vertex budget is detected at decode time
+    with pytest.raises(ValueError):
+        _decode_packed_mesh(np.asarray(idx), np.asarray(vkey)[:8],
+                            np.asarray(vfrac)[:8], int(n), int(n_v),
+                            (24, 24, 24))
+
+
 def test_batched_fit_matches_per_class():
     """fit_fissure_surfaces (one vmapped dispatch) must reproduce the
     per-class pointcloud_surface_fitting meshes."""
