@@ -83,12 +83,16 @@ def get_enhancement_keypoints(enhanced: jnp.ndarray, min_threshold: float = 0.2,
 
 def get_cnn_keypoints(softmax_scores: jnp.ndarray, lung_mask: jnp.ndarray,
                       feat_patch: int = 5, max_kpts: int = MAX_KPTS,
-                      rng: jax.Array | None = None):
+                      rng: jax.Array | None = None,
+                      want_features: bool = True):
     """Keypoints = foreground argmax within the lung mask; features = 5^3
     patches of all softmax channels (keypoint_extraction.py:53-131).
 
     :param softmax_scores: (D, H, W, C) from models.seg_cnn.predict_all_patches
-    :return: (kp (max_kpts, 3) zyx, valid, features (max_kpts, C*p^3))
+    :param want_features: skip the softmax-patch feature sampling (serving
+        with a coords-only point model never reads them; the 4x trilinear
+        patch gather is the most expensive part of this extraction)
+    :return: (kp (max_kpts, 3) zyx, valid, features (max_kpts, C*p^3) or None)
     """
     pred = jnp.argmax(softmax_scores, -1)
     fg = (pred != 0) & lung_mask
@@ -101,6 +105,8 @@ def get_cnn_keypoints(softmax_scores: jnp.ndarray, lung_mask: jnp.ndarray,
     d, h, w, c = softmax_scores.shape
     kp = jnp.stack([idx // (h * w), (idx // w) % h, idx % w], -1).astype(jnp.int32)
 
+    if not want_features:
+        return kp, valid, None
     grid = kpts_to_grid(kp[:, ::-1].astype(jnp.float32), (d, h, w))
     feats = []
     for ch in range(c):

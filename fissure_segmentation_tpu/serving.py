@@ -57,15 +57,18 @@ class CaseResult:
     static_argnames=("apply_fn", "kp_mode", "max_kpts", "sample_points",
                      "n_runs_min", "subset_batch", "grid_res", "sig",
                      "k_normals", "max_tris", "max_verts", "num_fg_classes",
-                     "fissure_mu", "fissure_sigma", "approx_top_k"))
+                     "fissure_mu", "fissure_sigma", "approx_top_k",
+                     "cnn_apply_fn", "cnn_dtype"))
 def _device_case(vol, mask, variables, rng, *, apply_fn, kp_mode, max_kpts,
                  sample_points, n_runs_min, subset_batch, grid_res, sig,
                  k_normals, max_tris, num_fg_classes, fissure_mu,
-                 fissure_sigma, approx_top_k=False, max_verts=16384):
+                 fissure_sigma, approx_top_k=False, max_verts=16384,
+                 cnn_apply_fn=None, cnn_variables=None, cnn_dtype=None):
     """Device half of a case: detector + ensemble + PSR + marching tets.
 
-    `vol` is the CT volume (foerstner/enhancement modes) or the pre-seg CNN
-    softmax volume (cnn mode, (D, H, W, C)).
+    `vol` is the CT volume (foerstner/enhancement modes; also cnn mode when
+    `cnn_apply_fn` is given — the pre-seg CNN forward then runs INSIDE this
+    dispatch) or the pre-seg CNN softmax volume (cnn mode, (D, H, W, C)).
     """
     if kp_mode == "foerstner":
         kpts, valid, _ = foerstner_keypoints(vol, mask, sigma=0.5, d=5,
@@ -78,9 +81,18 @@ def _device_case(vol, mask, variables, rng, *, apply_fn, kp_mode, max_kpts,
         kpts, valid = get_enhancement_keypoints(enh, max_kpts=max_kpts)
         shape = vol.shape
     elif kp_mode == "cnn":
-        kpts, valid, _ = get_cnn_keypoints(vol, mask, max_kpts=max_kpts,
-                                           rng=jax.random.fold_in(rng, 1))
-        shape = vol.shape[:-1]
+        if cnn_apply_fn is not None:
+            from .models.seg_cnn import predict_full_volume
+            soft = predict_full_volume(cnn_apply_fn, cnn_variables, vol,
+                                       dtype=cnn_dtype)
+            shape = vol.shape
+        else:
+            soft, shape = vol, vol.shape[:-1]
+        # want_features=False: the ensemble below feeds coords only, and the
+        # 4x 5^3 trilinear patch gather is the tail's dominant cost
+        kpts, valid, _ = get_cnn_keypoints(soft, mask, max_kpts=max_kpts,
+                                           rng=jax.random.fold_in(rng, 1),
+                                           want_features=False)
     else:
         raise ValueError(f'serving does not support kp_mode "{kp_mode}"')
 
@@ -117,12 +129,20 @@ def segment_case(vol, mask, apply_fn, variables, rng, *,
                  lung_mask_filter: np.ndarray | None = None,
                  mask_dilate_radius: int = 1, crop_to_bbox: bool = True,
                  make_labelmap: bool = True,
-                 approx_top_k: bool = False) -> CaseResult:
+                 approx_top_k: bool = False,
+                 cnn_apply_fn=None, cnn_variables=None,
+                 cnn_dtype=None) -> CaseResult:
     """Segment one CT case end-to-end (train.py:179-321 serving chain).
 
     :param vol: (D, H, W) CT volume at unit spacing — or, for
-        ``kp_mode="cnn"``, the (D, H, W, C) pre-seg softmax volume (from
-        models.seg_cnn.predict_full_volume)
+        ``kp_mode="cnn"`` WITHOUT ``cnn_apply_fn``, the (D, H, W, C) pre-seg
+        softmax volume (from models.seg_cnn.predict_full_volume)
+    :param cnn_apply_fn: optional pre-seg CNN apply for ``kp_mode="cnn"``;
+        when given, `vol` is the raw CT and the full-volume CNN forward is
+        FUSED into the same device dispatch as detector+ensemble+PSR (saves
+        a dispatch round trip and the 256^3*C softmax round trip through HBM
+        between two executables). `cnn_variables` are its params;
+        `cnn_dtype` its compute dtype (e.g. jnp.bfloat16).
     :param mask: (D, H, W) bool lung mask (keypoint restriction)
     :param apply_fn: point-seg model apply (variables, (B, S, 3), train=False)
     :param rights: per-fg-class right-lung flags for component selection
@@ -137,7 +157,8 @@ def segment_case(vol, mask, apply_fn, variables, rng, *,
     :return: CaseResult with host-side keypoints, labels, per-class meshes
         (world xyz) and optionally the rasterized labelmap.
     """
-    shape = vol.shape[:-1] if kp_mode == "cnn" else vol.shape
+    shape = (vol.shape[:-1] if kp_mode == "cnn" and cnn_apply_fn is None
+             else vol.shape)
     if rights is None:
         rights = ([False, True, True] + [None] * num_fg_classes)[:num_fg_classes]
 
@@ -148,7 +169,9 @@ def segment_case(vol, mask, apply_fn, variables, rng, *,
         subset_batch=subset_batch, grid_res=tuple(grid_res), sig=sig,
         k_normals=k_normals, max_tris=max_tris, max_verts=int(max_verts),
         num_fg_classes=num_fg_classes, fissure_mu=fissure_mu,
-        fissure_sigma=fissure_sigma, approx_top_k=approx_top_k)
+        fissure_sigma=fissure_sigma, approx_top_k=approx_top_k,
+        cnn_apply_fn=cnn_apply_fn, cnn_variables=cnn_variables,
+        cnn_dtype=cnn_dtype)
     (kpts_q, valid_bits, pred, inside_bits, idx, vkey, vfrac_q, n_tris,
      n_verts) = jax.device_get(out)
 

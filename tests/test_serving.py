@@ -155,6 +155,34 @@ def test_cnn_mode_runs(case):
     assert res.labelmap.shape == SHAPE
 
 
+def test_cnn_fused_forward_matches_staged(case):
+    """segment_case(cnn_apply_fn=...) runs the pre-seg CNN INSIDE the fused
+    dispatch; its keypoint/label outputs must closely match the staged
+    protocol (predict_full_volume -> segment_case on the softmax volume).
+    Exact equality is not guaranteed: the two compilation contexts fuse the
+    CNN forward differently, and an ulp flip at a near-tie argmax voxel can
+    swap a keypoint slot — so assert high overlap instead."""
+    from fissure_segmentation_tpu.models.seg_cnn import (MobileNetASPP,
+                                                         predict_full_volume)
+    img, mask, model, variables = case
+    cnn = MobileNetASPP(num_classes=4)
+    cnn_vars = cnn.init(jax.random.PRNGKey(9),
+                        jnp.zeros((1, 16, 16, 16, 1), jnp.float32),
+                        train=False)
+    rng = jax.random.PRNGKey(4)
+    soft = predict_full_volume(cnn.apply, cnn_vars, jnp.asarray(img))
+    staged = segment_case(soft, mask, model.apply, variables, rng,
+                          kp_mode="cnn", make_labelmap=False, **CFG)
+    fused = segment_case(jnp.asarray(img), mask, model.apply, variables, rng,
+                         kp_mode="cnn", cnn_apply_fn=cnn.apply,
+                         cnn_variables=cnn_vars, make_labelmap=False, **CFG)
+    assert len(fused.kpts) > 0 and len(fused.meshes) == 3
+    sk = {tuple(k) for k in staged.kpts}
+    fk = {tuple(k) for k in fused.kpts}
+    overlap = len(sk & fk) / max(1, len(sk))
+    assert overlap > 0.99, overlap
+
+
 def test_approx_top_k_mode_runs(case):
     """Fast serving variant: approx detector top-k (lax.approx_max_k) must
     produce a structurally equivalent result — same shapes, high keypoint
