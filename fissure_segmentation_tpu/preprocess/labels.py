@@ -165,8 +165,13 @@ def binary_lung_mask_to_left_right(lung_mask: np.ndarray, left_label: int = 1,
 def find_non_zero_range(mask: np.ndarray, axis: int = 0, open_radius: int = 2) -> tuple[int, int]:
     """[lo, hi) index range along `axis` containing non-zero voxels, after a
     small binary opening to ignore mis-segmentation specks
-    (preprocess_totalsegmentator_dataset.py `find_non_zero_ranges`)."""
-    m = np.asarray(binary_morphology(jnp.asarray(mask != 0), open_radius, "open"))
+    (preprocess_totalsegmentator_dataset.py `find_non_zero_ranges`;
+    open_radius=0 = the raw range of the v1 script, which has no opening)."""
+    if open_radius == 0:
+        m = np.asarray(mask) != 0
+    else:
+        m = np.asarray(binary_morphology(jnp.asarray(mask != 0), open_radius,
+                                         "open"))
     proj = m.any(axis=tuple(a for a in range(m.ndim) if a != axis))
     nz = np.nonzero(proj)[0]
     if len(nz) == 0:

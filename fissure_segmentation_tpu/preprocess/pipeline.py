@@ -28,19 +28,34 @@ from .labels import (find_fissures, find_lobes, find_non_zero_range,
 
 IMG_MIN, IMG_MAX = -1000.0, 1500.0  # HU clamp range (constants.py:8-9)
 
+# Cases whose 5 lobes are present but cut off somewhere — the v1 script's
+# manually-curated exclusion set (preprocess_totalsegmentator_dataset_v1.py:28)
+EXCLUDE_LIST_V1 = (57, 58, 67, 135, 165, 199, 212, 215, 256, 264, 266, 294,
+                   321, 428, 509, 542, 555, 566, 607, 651, 682, 705, 743,
+                   762, 806, 864, 965, 1179, 1257, 1261, 1268, 1307, 1367,
+                   1386)
+
 
 def preprocess_totalsegmentator_case(img: np.ndarray, lobes: np.ndarray,
-                                     z_pad: int = 15, flip_xy: bool = True):
+                                     z_pad: int = 15, flip_xy: bool = True,
+                                     legacy_v1: bool = False):
     """One TotalSegmentator case -> cropped/canonical image + GT labels.
 
     :param img: (D, H, W) CT volume in HU
     :param lobes: (D, H, W) combined lobe labelmap (1 RLL, 2 RUL, 3 LLL,
         4 LUL, 5 RML)
+    :param legacy_v1: reproduce the v1 crops consumed by the reference's
+        qualitative figures (preprocess_totalsegmentator_dataset_v1.py:
+        z_pad 20, no binary opening of the lobe z-range, no HU clamp); the
+        fissure/lung-mask derivation is identical between versions
     :return: dict with image, lobes, fissures, lung_mask arrays
     """
     img = np.asarray(img)
     lobes = np.asarray(lobes)
-    lo, hi = find_non_zero_range(lobes, axis=0, open_radius=2)
+    if legacy_v1:
+        z_pad = 20
+    lo, hi = find_non_zero_range(lobes, axis=0,
+                                 open_radius=0 if legacy_v1 else 2)
     lo = max(lo - z_pad, 0)
     hi = min(hi + z_pad, lobes.shape[0])
     img, lobes = img[lo:hi], lobes[lo:hi]
@@ -49,7 +64,8 @@ def preprocess_totalsegmentator_case(img: np.ndarray, lobes: np.ndarray,
         img = img[:, ::-1, ::-1].copy()
         lobes = lobes[:, ::-1, ::-1].copy()
 
-    img = np.clip(img, IMG_MIN - 1, IMG_MAX)
+    if not legacy_v1:  # the v1 script wrote unclamped HU volumes
+        img = np.clip(img, IMG_MIN - 1, IMG_MAX)
     lobes_j = jnp.asarray(lobes)
     fissures = np.asarray(find_fissures(lobes_j))
     lung_mask = np.asarray(generate_lung_mask(lobes_j))

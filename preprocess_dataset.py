@@ -24,13 +24,13 @@ import numpy as np
 def process_case(img, lobes, spacing, out_dir: str, case: str,
                  sequence: str = "fixed", kp_mode: str = "foerstner",
                  cnn_model_path: str | None = None,
-                 feature_mode: str | None = None):
+                 feature_mode: str | None = None, legacy_v1: bool = False):
     from fissure_segmentation_tpu.preprocess.labels import \
         binary_lung_mask_to_left_right
     from fissure_segmentation_tpu.preprocess.pipeline import (
         label_pipeline_case, preprocess_totalsegmentator_case)
 
-    pre = preprocess_totalsegmentator_case(img, lobes)
+    pre = preprocess_totalsegmentator_case(img, lobes, legacy_v1=legacy_v1)
     # left/right lung-half mask (the reference's separate process_lung_mask
     # step writing `_masklr_` files) — needed for the 'binary' label space
     mask_lr = binary_lung_mask_to_left_right(np.asarray(pre["lung_mask"]))
@@ -112,6 +112,13 @@ def main(argv=None):
                         help="trained seg-CNN checkpoint (.fst) for "
                              "kp_mode=cnn (e.g. seg_cnn_out/fold0/model.fst)")
     parser.add_argument("--sequence", default="fixed")
+    parser.add_argument("--v1", action="store_true",
+                        help="legacy TotalSegmentator-v1 crop semantics "
+                             "(preprocess_totalsegmentator_dataset_v1.py: "
+                             "z_pad 20, raw z-range, unclamped HU) — the "
+                             "crops the reference's qualitative.py figures "
+                             "consume; also applies the v1 exclusion list "
+                             "of incomplete-lobe cases")
     parser.add_argument("--evaluate_enhancement", action="store_true",
                         help="evaluate the Hessian fissure-enhancement "
                              "filter (ROC/AP + Dice-vs-threshold sweep, "
@@ -133,20 +140,25 @@ def main(argv=None):
             process_case(img, case["lobes"], case["spacing"], args.output,
                          case["case_id"], args.sequence, args.kp_mode,
                          cnn_model_path=args.cnn_model,
-                         feature_mode=args.feature)
+                         feature_mode=args.feature, legacy_v1=args.v1)
             print(f"processed {case['case_id']}")
         return
     if not args.data_dir:
         parser.error("--data_dir or --synthetic required")
+    from fissure_segmentation_tpu.preprocess.pipeline import EXCLUDE_LIST_V1
+    excluded = {f"s{i:04d}" for i in EXCLUDE_LIST_V1}
     for path in sorted(glob(os.path.join(args.data_dir, "*_raw.npz"))):
         case = os.path.basename(path).replace("_raw.npz", "")
+        if args.v1 and case in excluded:
+            print(f"skipping {case} (v1 exclusion list: incomplete lobes)")
+            continue
         with np.load(path) as z:
             img = z["image"]
             lobes = z["lobes"]
             spacing = z["spacing"] if "spacing" in z else (1.0, 1.0, 1.0)
         process_case(img, lobes, spacing, args.output, case, args.sequence,
                      args.kp_mode, cnn_model_path=args.cnn_model,
-                     feature_mode=args.feature)
+                     feature_mode=args.feature, legacy_v1=args.v1)
         print(f"processed {case}")
 
 

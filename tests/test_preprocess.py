@@ -77,6 +77,23 @@ def test_preprocess_totalsegmentator_case(case):
     assert out["image"].shape[0] <= case["image"].shape[0]
 
 
+def test_preprocess_totalsegmentator_case_v1(case):
+    """legacy_v1 (preprocess_totalsegmentator_dataset_v1.py): z_pad 20, raw
+    z-range (no opening), and NO HU clamp — vs the v2 defaults."""
+    img = case["image"] * 2500 - 1000
+    # one bone-bright voxel inside the lobe crop: exceeds the v2 clamp
+    zc = np.argwhere(case["lobes"] > 0)[0]
+    img[zc[0], zc[1], zc[2]] = 2000.0
+    v1 = preprocess_totalsegmentator_case(img, case["lobes"], legacy_v1=True)
+    v2 = preprocess_totalsegmentator_case(img, case["lobes"])
+    assert v1["image"].max() > 1500 >= v2["image"].max()  # clamp only in v2
+    # v1 pads the lobe z-range by 20 (clipped at the volume border), so its
+    # crop can only be taller than v2's z_pad=15 crop
+    assert v1["image"].shape[0] >= v2["image"].shape[0]
+    # label derivation identical between versions on the common crop
+    assert set(np.unique(v1["fissures"])) == set(np.unique(v2["fissures"]))
+
+
 def test_find_lobes_roundtrip(case):
     """fissures + lung mask -> lobes recovers the 5-lobe partition."""
     lobes_gt = case["lobes"]
