@@ -23,7 +23,7 @@ jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: XLA-CPU compiles of the big scan graphs
 # (epoch loops, marching tetrahedra) dominate test time otherwise
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.25)
 assert jax.default_backend() == "cpu", jax.devices()
 assert len(jax.devices()) == 8
 

@@ -70,6 +70,7 @@ def test_bf16_pointnet():
     assert rel < 0.08, rel
 
 
+@pytest.mark.slow
 def test_bf16_point_transformer():
     """PointTransformer bf16: one attention layer stays close to f32 (the
     q-k cancellation is where bf16's 8 mantissa bits hurt most), and the

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fissure_segmentation_tpu.data import (PointCloudStore, PointDataset,
                                            create_split, load_split_file,
@@ -38,6 +39,7 @@ def test_case_npz_roundtrip(tmp_path):
     assert loaded["surface_params"].keys() == case["surface_params"].keys()
 
 
+@pytest.mark.slow
 def test_point_dataset_and_store():
     cases = make_synthetic_dataset(6, n_points=1000)
     ds = PointDataset(cases, sample_points=256)

@@ -88,6 +88,7 @@ def test_dpsr_plane_reconstruction():
     assert lo * hi < 0, (lo, hi)
 
 
+@pytest.mark.slow
 def test_marching_tetrahedra_sphere():
     # phi = |x - c| - r  -> zero level set is a sphere of radius 10
     g = np.stack(np.meshgrid(*[np.arange(32)] * 3, indexing="ij"), -1)

@@ -19,6 +19,7 @@ def _plane_logits_and_coords(rng, n=400):
     return logits, coords
 
 
+@pytest.mark.slow
 def test_per_class_surface_samples_shapes_and_validity(rng):
     logits, coords = _plane_logits_and_coords(rng)
     pts, valid, psr = per_class_surface_samples(

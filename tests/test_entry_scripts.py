@@ -12,6 +12,7 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+@pytest.mark.slow
 def test_train_pc_ae_entry(tmp_path):
     import train_pc_ae
     parser = train_pc_ae.get_pc_ae_train_parser()

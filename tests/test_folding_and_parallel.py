@@ -25,6 +25,7 @@ def test_folding_net_shapes():
     assert out.shape == (2, model2.m, 3)
 
 
+@pytest.mark.slow
 def test_mesh_loss_terms():
     pts, faces = get_plane_mesh(n=100)
     topo = MeshTopology.from_faces(faces, len(pts))

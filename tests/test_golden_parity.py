@@ -368,6 +368,7 @@ def test_grid_sample_volume_matches_torch(rng):
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tps_and_thin_plate_dense_match_reference(rng):
     """TPS radial-basis fit/eval and the dense displacement field
     (point_cloud_registration.py:24-90), incl. the align_corners=True

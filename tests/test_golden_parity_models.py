@@ -193,6 +193,7 @@ def _assemble_mobilenet(model):
     return {"params": params, "batch_stats": stats}
 
 
+@pytest.mark.slow
 def test_mobilenet_aspp_forward_matches_reference(rng):
     """Voxel-CNN full-forward parity (seg_cnn.py:100-126, mobilenet.py:16-52,
     aspp_3d.py:58-86): backbone inverted residuals incl. the grouped
@@ -245,6 +246,7 @@ def _folding_net_vars(tm):
             "batch_stats": {"DGCNNClsEncoder_0": enc_s}}
 
 
+@pytest.mark.slow
 def test_folding_net_forward_matches_reference(rng):
     """PC-AE full-forward parity (folding_net.py:42-228): the open-source
     DGCNN cls encoder (4 single-layer EdgeConvs with self-loop kNN,
@@ -271,6 +273,7 @@ def test_folding_net_forward_matches_reference(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_folding_net_gradients_match_reference(rng):
     """Backward parity for the PC-AE: pins the self-loop-kNN EdgeMLP gather
     backward (a different neighbor pattern than DGCNNSeg's static graph) and
@@ -323,6 +326,7 @@ def test_folding_net_gradients_match_reference(rng):
                                    rtol=1e-3, atol=1e-5, err_msg=key)
 
 
+@pytest.mark.slow
 def test_dgcnn_seg_st_imgfeat_forward_matches_reference(rng):
     """DGCNNSeg with BOTH optional modules: the 1x1-conv ImageFeatures
     embedding (dgcnn.py:326-343) and the SpatialTransformer (zero-kernel /
@@ -380,6 +384,7 @@ def test_dgcnn_seg_st_imgfeat_forward_matches_reference(rng):
                                rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_dgcnn_seg_gradients_match_reference(rng):
     """Backward-pass golden parity for the flagship model: with copied
     weights and the same scalar loss, every parameter gradient must match
@@ -438,6 +443,7 @@ def test_dgcnn_seg_gradients_match_reference(rng):
             err_msg=key)
 
 
+@pytest.mark.slow
 def test_mobilenet_aspp_gradients_match_reference(rng):
     """Backward parity for the voxel CNN: pins conv3d / grouped-depthwise /
     dilated-conv gradients and the nearest+trilinear resize backwards."""
@@ -489,6 +495,7 @@ def test_mobilenet_aspp_gradients_match_reference(rng):
             err_msg=key)
 
 
+@pytest.mark.slow
 def test_point_transformer_layer_matches_reference(rng):
     """Vector self-attention golden parity (seg_model.py:17-53), the core of
     the one CUDA-bound reference model. The CUDA `pointops.queryandgroup` is
@@ -556,6 +563,7 @@ def test_point_transformer_layer_matches_reference(rng):
     np.testing.assert_allclose(out_j, out_t, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_point_transformer_layer_gradients_match_reference(rng):
     """Backward parity for the vector self-attention layer: with copied
     weights and the same scalar loss every parameter gradient must match
@@ -967,6 +975,7 @@ def test_deforming_decoder_forward_matches_reference(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_dgcnn_cls_forward_matches_reference(rng):
     """cls-DGCNN (DGSSM backbone) full-forward parity
     (dgcnn_opensrc.py:101-172): 4 EdgeConvs, emb conv, global max+avg
@@ -997,6 +1006,7 @@ def test_dgcnn_cls_forward_matches_reference(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_dgssm_forward_matches_reference(rng):
     """DG-SSM full-forward parity (dg_ssm.py:91-141) without the affine
     transform (its pytorch3d `compose_transform` can't run under the stubbed

@@ -65,6 +65,7 @@ def mesh_data():
                                        shape=(32, 32, 32), with_feature=False)
 
 
+@pytest.mark.slow
 def test_sample_from_mesh_ds(mesh_data):
     cases, meshes, sizes = mesh_data
     ids = [(c["case_id"], c["sequence"]) for c in cases]

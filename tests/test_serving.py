@@ -94,6 +94,7 @@ def test_host_half_is_exact_decode_of_device_outputs(case):
     np.testing.assert_array_equal(res.labelmap, mesh_to_labelmap(meshes, SHAPE))
 
 
+@pytest.mark.slow
 def test_fused_matches_staged_pipeline_functionally(case):
     """Tier 2: staged pipeline parity — exact where ulp-robust, bulk-chamfer
     where compilation-context ulps flip kNN ties / phi signs."""

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fissure_segmentation_tpu.losses.dgssm import make_dgssm_loss
 from fissure_segmentation_tpu.models.dg_ssm import DGSSM, dgssm_ensemble_predict
@@ -45,6 +46,7 @@ def test_ssm_save_load_roundtrip(rng, tmp_path):
     assert (np.abs(np.asarray(s)) <= ranges + 1e-5).all()
 
 
+@pytest.mark.slow
 def test_dgssm_forward_and_loss(rng):
     shapes = _make_shapes(rng, n=10, p=36)
     ssm = fit_ssm(shapes, target_variance=0.99)

@@ -57,6 +57,7 @@ def test_surface_fitting_on_synthetic_fissure():
     assert occupied[:, 0].std() > 1.0
 
 
+@pytest.mark.slow
 def test_psr_mesh_quality_bound():
     """Pin the spectral-PSR accuracy bound measured by
     scripts/prof/psr_quality_sweep.py (PERF.md "Spectral-PSR mesh quality"):
