@@ -200,22 +200,45 @@ def _host_mesh_filter(inside: np.ndarray, tris: np.ndarray, tvalid: np.ndarray,
 _QSCALE = 512.0
 
 
+def _compact_valid(points: jnp.ndarray, valid: jnp.ndarray, cap: int):
+    """Gather the valid points into the first `cap` slots (stable order).
+
+    The per-class PSR inputs are the FULL serving cloud (N = max_kpts) with
+    a class-validity mask that is typically <= ~1/3 true; the normals kNN
+    inside `_psr_grid` is O(N^2), so compacting each class into a fixed
+    cap-sized prefix before the fit cuts its dominant cost by (N/cap)^2
+    without changing the result (invalid slots never contribute to
+    neighborhoods, rasterization, or the bbox mask). Valid points beyond
+    `cap` — only possible if one class held > cap of the case's keypoints —
+    are dropped, mirroring the reference's own MAX_KPTS random-subsample cap
+    (keypoint_extraction.py:19,144-151).
+    """
+    order = jnp.argsort(jnp.logical_not(valid), stable=True)
+    keep = order[:cap]
+    return jnp.take(points, keep, axis=0), jnp.take(valid, keep, axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("grid_res", "sig", "k_normals",
-                                             "max_tris"))
+                                             "max_tris", "class_cap"))
 def _batched_psr_mc(points_grid: jnp.ndarray, valids: jnp.ndarray, grid_res,
-                    sig, k_normals, max_tris):
+                    sig, k_normals, max_tris, class_cap=8192):
     """Device half for C classes in ONE dispatch: vmapped masked-normal PSR
-    + vmapped marching tetrahedra over the shared point cloud.
+    + vmapped marching tetrahedra over the shared point cloud (each class
+    first compacted to `class_cap` points, see `_compact_valid`).
 
     Transfer-optimized outputs (the axon tunnel is ~30 MB/s):
       inside_bits — packbits(phi < 0): 512x smaller than fetching phi
       tris_q      — uint16 fixed-point vertex coords (coord * _QSCALE)
       n_tris      — per-class valid count, so the host fetches exact slices
     """
-    phis = jax.vmap(lambda v: _psr_grid(points_grid, v, grid_res, sig,
-                                        k_normals))(valids)
-    masks = jax.vmap(
-        lambda v: _bbox_cell_mask(points_grid, v, grid_res))(valids)
+    cap = min(class_cap or points_grid.shape[0], points_grid.shape[0])
+
+    def fit_one(v):
+        p_c, v_c = _compact_valid(points_grid, v, cap)
+        return (_psr_grid(p_c, v_c, grid_res, sig, k_normals),
+                _bbox_cell_mask(p_c, v_c, grid_res))
+
+    phis, masks = jax.vmap(fit_one)(valids)
     tris, tvalid, n_tris = jax.vmap(
         lambda p, m: marching_tetrahedra(p, max_tris=max_tris,
                                          cell_mask=m))(phis, masks)
@@ -225,20 +248,25 @@ def _batched_psr_mc(points_grid: jnp.ndarray, valids: jnp.ndarray, grid_res,
 
 
 @functools.partial(jax.jit, static_argnames=("grid_res", "sig", "k_normals",
-                                             "max_tris", "max_verts"))
+                                             "max_tris", "max_verts",
+                                             "class_cap"))
 def _batched_psr_mc_packed(points_grid: jnp.ndarray, valids: jnp.ndarray,
                            grid_res, sig, k_normals, max_tris,
-                           max_verts=16384):
+                           max_verts=16384, class_cap=8192):
     """_batched_psr_mc with the dedup-indexed mesh transfer encoding
     (ops/marching.marching_tetrahedra_packed): shared vertices are fetched
     once — max_verts*(4+2) + max_tris*6 bytes per class vs max_tris*18,
     ~1.8x less tunnel traffic at the serving budgets, and vertex coords are
     exact to 1/65535 of a cell instead of _QSCALE fixed point."""
     from ..ops.marching import marching_tetrahedra_packed
-    phis = jax.vmap(lambda v: _psr_grid(points_grid, v, grid_res, sig,
-                                        k_normals))(valids)
-    masks = jax.vmap(
-        lambda v: _bbox_cell_mask(points_grid, v, grid_res))(valids)
+    cap = min(class_cap or points_grid.shape[0], points_grid.shape[0])
+
+    def fit_one(v):
+        p_c, v_c = _compact_valid(points_grid, v, cap)
+        return (_psr_grid(p_c, v_c, grid_res, sig, k_normals),
+                _bbox_cell_mask(p_c, v_c, grid_res))
+
+    phis, masks = jax.vmap(fit_one)(valids)
     idx, vkey, vfrac_q, n_tris, n_verts = jax.vmap(
         lambda p, m: marching_tetrahedra_packed(
             p, max_tris=max_tris, max_verts=max_verts,
@@ -278,7 +306,7 @@ def fit_fissure_surfaces(points_world: np.ndarray, class_valid: np.ndarray,
                          grid_res=(64, 64, 64), sig: float = 4.0,
                          k_normals: int = 30, max_tris: int = 24000,
                          rights=None, center_x: float | None = None,
-                         crop_to_bbox: bool = True):
+                         crop_to_bbox: bool = True, class_cap: int = 8192):
     """Fit all fissure surfaces of one case in a single device dispatch.
 
     Serving-path variant of per-class `pointcloud_surface_fitting`: the C
@@ -307,7 +335,8 @@ def fit_fissure_surfaces(points_world: np.ndarray, class_valid: np.ndarray,
     # encoding halves the bulk payload again.
     inside_bits, idx, vkey, vfrac_q, n_tris, n_verts = jax.device_get(
         _batched_psr_mc_packed(pts_grid, jnp.asarray(class_valid),
-                               tuple(grid_res), sig, k_normals, max_tris))
+                               tuple(grid_res), sig, k_normals, max_tris,
+                               class_cap=int(class_cap)))
     inside = np.unpackbits(inside_bits, axis=-1,
                            count=int(np.prod(grid_res)))
     inside = inside.reshape(c, *grid_res).astype(bool)

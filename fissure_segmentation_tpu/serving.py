@@ -58,12 +58,13 @@ class CaseResult:
                      "n_runs_min", "subset_batch", "grid_res", "sig",
                      "k_normals", "max_tris", "max_verts", "num_fg_classes",
                      "fissure_mu", "fissure_sigma", "approx_top_k",
-                     "cnn_apply_fn", "cnn_dtype"))
+                     "cnn_apply_fn", "cnn_dtype", "class_cap"))
 def _device_case(vol, mask, variables, rng, *, apply_fn, kp_mode, max_kpts,
                  sample_points, n_runs_min, subset_batch, grid_res, sig,
                  k_normals, max_tris, num_fg_classes, fissure_mu,
                  fissure_sigma, approx_top_k=False, max_verts=16384,
-                 cnn_apply_fn=None, cnn_variables=None, cnn_dtype=None):
+                 cnn_apply_fn=None, cnn_variables=None, cnn_dtype=None,
+                 class_cap=8192):
     """Device half of a case: detector + ensemble + PSR + marching tets.
 
     `vol` is the CT volume (foerstner/enhancement modes; also cnn mode when
@@ -110,7 +111,7 @@ def _device_case(vol, mask, variables, rng, *, apply_fn, kp_mode, max_kpts,
         [valid & (pred == c) for c in range(1, num_fg_classes + 1)])
     inside_bits, idx, vkey, vfrac_q, n_tris, n_verts = _batched_psr_mc_packed(
         coords[:, ::-1], class_valid, grid_res, sig, k_normals, max_tris,
-        max_verts)
+        max_verts, class_cap)
 
     return (jnp.clip(kpts, 0, 65535).astype(jnp.uint16),
             jnp.packbits(valid), pred.astype(jnp.uint8),
@@ -131,7 +132,7 @@ def segment_case(vol, mask, apply_fn, variables, rng, *,
                  make_labelmap: bool = True,
                  approx_top_k: bool = False,
                  cnn_apply_fn=None, cnn_variables=None,
-                 cnn_dtype=None) -> CaseResult:
+                 cnn_dtype=None, class_cap: int = 8192) -> CaseResult:
     """Segment one CT case end-to-end (train.py:179-321 serving chain).
 
     :param vol: (D, H, W) CT volume at unit spacing — or, for
@@ -153,6 +154,10 @@ def segment_case(vol, mask, apply_fn, variables, rng, *,
         Förstner keypoint extraction instead of the exact masked top-k
         (~0.95 recall; the reference itself randomly subsamples past
         MAX_KPTS, keypoint_extraction.py:144-151)
+    :param class_cap: per-class point budget for the surface fit — each
+        class's keypoints are compacted to this fixed size before the
+        O(N^2) normals kNN (postprocess.surface_fitting._compact_valid);
+        exact as long as no class holds more than `class_cap` keypoints
     :param center_x: left/right split plane in voxels for component selection
     :return: CaseResult with host-side keypoints, labels, per-class meshes
         (world xyz) and optionally the rasterized labelmap.
@@ -171,7 +176,7 @@ def segment_case(vol, mask, apply_fn, variables, rng, *,
         num_fg_classes=num_fg_classes, fissure_mu=fissure_mu,
         fissure_sigma=fissure_sigma, approx_top_k=approx_top_k,
         cnn_apply_fn=cnn_apply_fn, cnn_variables=cnn_variables,
-        cnn_dtype=cnn_dtype)
+        cnn_dtype=cnn_dtype, class_cap=int(class_cap))
     (kpts_q, valid_bits, pred, inside_bits, idx, vkey, vfrac_q, n_tris,
      n_verts) = jax.device_get(out)
 
