@@ -22,8 +22,70 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.edge import edge_mlp_pre_gather
+from ..ops.fused_edge import (fused_edge_enabled, fused_edge_eval,
+                              fused_edge_train)
 
 xavier_normal = nn.initializers.xavier_normal()
+
+
+class _BNParams(nn.Module):
+    """Variable container structurally identical to ``nn.BatchNorm`` (scale/
+    bias params + mean/var batch_stats, all f32) for layers that compute the
+    normalization themselves (FusedEdgeMLPMax). Checkpoints are
+    interchangeable with the unfused path."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,),
+                                                  jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,),
+                                                jnp.float32))
+        return scale, bias, ra_mean, ra_var
+
+
+class FusedEdgeMLPMax(nn.Module):
+    """Single-layer EdgeConv (EdgeMLP + max-over-k) with the edge tensor
+    never materialized — see ops/fused_edge.py. Parameter/batch-stats tree
+    is IDENTICAL to ``EdgeMLP`` (kernel + BatchNorm_0), so checkpoints and
+    weight-copy utilities work unchanged; EdgeConv routes here when the
+    block has exactly one shared-MLP layer and fused_edge_enabled()."""
+    features: int
+    negative_slope: float = 0.2
+    dtype: Any = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, idx: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        c = x.shape[-1]
+        w = self.param("kernel", xavier_normal, (2 * c, self.features),
+                       jnp.float32)
+        scale, bias, ra_mean, ra_var = _BNParams(self.features,
+                                                 name="BatchNorm_0")()
+        dt = self.dtype or jnp.result_type(x)
+        xd = x.astype(dt)
+        a = xd @ w[:c].astype(dt)
+        cen = xd @ (w[c:] - w[:c]).astype(dt)
+        if train:
+            out, mean, var = fused_edge_train(
+                a, cen, scale, bias, idx, self.epsilon, self.negative_slope)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+            return out
+        return fused_edge_eval(a, cen, scale, bias, ra_mean.value,
+                               ra_var.value, idx, self.epsilon,
+                               self.negative_slope)
 
 
 class EdgeMLP(nn.Module):

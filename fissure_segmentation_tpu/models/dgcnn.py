@@ -24,7 +24,9 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import knn
-from .blocks import EdgeMLP, MLPStack, SharedMLP, xavier_normal
+from ..ops.fused_edge import fused_edge_enabled
+from .blocks import (EdgeMLP, FusedEdgeMLPMax, MLPStack, SharedMLP,
+                     xavier_normal)
 
 
 class EdgeConv(nn.Module):
@@ -45,6 +47,11 @@ class EdgeConv(nn.Module):
             idx = fixed_knn_graph
         if self.dtype is not None:
             x = x.astype(self.dtype)
+        if len(self.features) == 1 and fused_edge_enabled():
+            # single-shared-MLP EdgeConvs never materialize the (B, N, k, C)
+            # edge tensor (ops/fused_edge.py); same parameter tree
+            return FusedEdgeMLPMax(self.features[0], dtype=self.dtype,
+                                   name="EdgeMLP_0")(x, idx, train)
         e = EdgeMLP(self.features[0], dtype=self.dtype)(x, idx, train)
         for f in self.features[1:]:
             e = SharedMLP(f, dtype=self.dtype)(e, train)

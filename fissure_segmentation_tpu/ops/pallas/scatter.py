@@ -42,6 +42,11 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# VMEM budget for tile-size selection (~16 MB physical; leave headroom for
+# Mosaic spills) — mirrors ops/edge.py's routing budget.
+_MM_VMEM_BUDGET = 12 * 2 ** 20
+
+
 def pick_n_lo(n_rows: int, c_eff: int) -> int:
     """Low-part modulus minimizing the per-edge lane cost n_lo + n_hi*c_eff
     of :func:`scatter_add_mm2`. Ties break toward the LARGER n_lo: at the
@@ -175,6 +180,185 @@ def scatter_add_mm2(idx: jnp.ndarray, g: jnp.ndarray, n_rows: int,
     if split:
         out = out[..., :c] + out[..., c:]
     return out
+
+
+def _kernel_routed(idx_ref, ks_ref, s_ref, p_ref, out_ref, *, tile_n: int,
+                   kk: int, n_lo: int, n_hi: int, c: int, split: bool):
+    """Payload-SYNTHESIZING two-level scatter tile (see scatter_add_routed).
+
+    The classic scatter kernels above stream a materialized (E, C) payload
+    from HBM — 335 MB at the canonical DGCNN config, a ~4.4 ms read floor.
+    Here the per-edge payload is built IN VMEM from two (N, C) node fields:
+
+      payload[e=(n,k), 0:c]  = s[n, c]  if kstar[n, c] == k else 0
+      payload[e=(n,k), c:2c] = p[n, c]                (k-replicated)
+
+    which is exactly the EdgeConv max-backward: the max-pool routes the
+    (B, N, C) cotangent to ONE edge per (n, c) (the argmax slot), and the
+    BatchNorm backward adds a dense per-node term — so the (B, N, k, C)
+    cotangent never exists in HBM. Reads per tile are three (tile_n, C)
+    node blocks instead of a (tile_n*k, C) edge block.
+    """
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    tile_e = tile_n * kk
+    tgt = idx_ref[0]                                    # (tile_e, 1) int32
+    lane = jax.lax.rem(tgt, n_lo)
+    bkt = jax.lax.div(tgt, n_lo)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tile_e, n_lo), 1)
+    onehot = (cols == lane).astype(jnp.bfloat16)
+
+    ks = ks_ref[0]                                      # (tile_n, c) int32
+    s = s_ref[0]                                        # (tile_n, c)
+    p = p_ref[0]                                        # (tile_n, c)
+    kio = jax.lax.broadcasted_iota(jnp.int32, (tile_n, kk, c), 1)
+    sp = jnp.where(ks[:, None, :] == kio,
+                   jnp.broadcast_to(s[:, None, :], (tile_n, kk, c)),
+                   jnp.zeros((tile_n, kk, c), s.dtype))
+    pd = jnp.broadcast_to(p[:, None, :], (tile_n, kk, c))
+    pay = jnp.concatenate([sp.reshape(tile_e, c), pd.reshape(tile_e, c)],
+                          axis=-1)                      # (tile_e, 2c)
+    if split:
+        hi = pay.astype(jnp.bfloat16)
+        lo = (pay.astype(jnp.float32) - hi.astype(jnp.float32)
+              ).astype(jnp.bfloat16)
+        pay = jnp.concatenate([hi, lo], axis=-1)
+    else:
+        pay = pay.astype(jnp.bfloat16)
+    c_eff = pay.shape[-1]
+    rep = jnp.concatenate([pay] * n_hi, axis=-1)        # (tile_e, n_hi*c_eff)
+    blk = jax.lax.broadcasted_iota(jnp.int32, (tile_e, n_hi * c_eff), 1) \
+        // c_eff
+    masked = jnp.where(blk == bkt, rep, jnp.zeros_like(rep))
+    out_ref[0] += jax.lax.dot_general(
+        onehot, masked, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _routed_tile_n(n: int, kk: int, c: int, n_lo: int, n_hi: int,
+                   c_eff: int) -> int | None:
+    """Largest node tile (divisor of N) fitting the VMEM budget."""
+    acc = n_lo * n_hi * c_eff * 4
+    for tile_n in (64, 32, 16, 8, 4, 2, 1):
+        if n % tile_n:
+            continue
+        tile_e = tile_n * kk
+        # onehot + replicated/masked payload (x2) + payload build + acc
+        need = (tile_e * n_lo * 2 + 2 * tile_e * n_hi * c_eff * 2
+                + 4 * tile_n * kk * max(c, 128) * 2 + acc)
+        if need <= _MM_VMEM_BUDGET:
+            return tile_n
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "tile_n"))
+def scatter_add_routed(idx: jnp.ndarray, kstar: jnp.ndarray, s: jnp.ndarray,
+                       p: jnp.ndarray, n_rows: int,
+                       tile_n: int | None = None) -> jnp.ndarray:
+    """Fused sparse+dense scatter with IN-KERNEL payload synthesis.
+
+    For every node n and channel c:
+      out[b, idx[b, n, kstar[b, n, c]], c]      += s[b, n, c]   (sparse half)
+      out[b, idx[b, n, k], c + C]  for ALL k    += p[b, n, c]   (dense half)
+
+    :param idx: (B, N, K) int32 neighbor indices in [0, n_rows)
+    :param kstar: (B, N, C) int32 routing slot in [0, K) per (node, channel)
+    :param s: (B, N, C) sparse payload (bf16 or f32)
+    :param p: (B, N, C) dense (k-replicated) payload, same dtype as s
+    :return: (B, n_rows, 2C) float32 — [..., :C] sparse, [..., C:] dense
+    """
+    b, n, kk = idx.shape
+    c = s.shape[-1]
+    if s.shape != (b, n, c) or p.shape != (b, n, c) or kstar.shape != s.shape:
+        raise ValueError(f"idx {idx.shape} / kstar {kstar.shape} / "
+                         f"s {s.shape} / p {p.shape}")
+    split = s.dtype == jnp.float32
+    c_eff = 4 * c if split else 2 * c
+    n_lo = pick_n_lo(n_rows, c_eff)
+    n_hi = -(-n_rows // n_lo)
+    if tile_n is None:
+        tile_n = _routed_tile_n(n, kk, c, n_lo, n_hi, c_eff)
+    if tile_n is None:
+        raise ValueError(f"no VMEM-feasible tile for N={n} K={kk} C={c}")
+
+    grid = (b, n // tile_n)
+    kernel = functools.partial(_kernel_routed, tile_n=tile_n, kk=kk,
+                               n_lo=n_lo, n_hi=n_hi, c=c, split=split)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_n * kk, 1), lambda bi, ni: (bi, ni, 0)),
+            pl.BlockSpec((1, tile_n, c), lambda bi, ni: (bi, ni, 0)),
+            pl.BlockSpec((1, tile_n, c), lambda bi, ni: (bi, ni, 0)),
+            pl.BlockSpec((1, tile_n, c), lambda bi, ni: (bi, ni, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n_lo, n_hi * c_eff),
+                               lambda bi, ni: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_lo, n_hi * c_eff), jnp.float32),
+        interpret=interpret_mode(),
+    )(idx.reshape(b, n * kk, 1), kstar, s, p)
+    out = out.reshape(b, n_lo, n_hi, c_eff).swapaxes(1, 2).reshape(
+        b, n_hi * n_lo, c_eff)[:, :n_rows]
+    if split:
+        return jnp.concatenate([out[..., :c] + out[..., 2 * c:3 * c],
+                                out[..., c:2 * c] + out[..., 3 * c:]], -1)
+    return out
+
+
+def _kernel_count(idx_ref, out_ref, *, r: int, n_lo: int, n_hi: int):
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    tgt = idx_ref[0]                                    # (r, 1) int32
+    lane = jax.lax.rem(tgt, n_lo)
+    bkt = jax.lax.div(tgt, n_lo)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, n_lo), 1)
+    onehot = (cols == lane).astype(jnp.bfloat16)
+    hcols = jax.lax.broadcasted_iota(jnp.int32, (r, n_hi), 1)
+    bh = (hcols == bkt).astype(jnp.bfloat16)
+    out_ref[0] += jax.lax.dot_general(onehot, bh, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "tile_e"))
+def scatter_count(idx: jnp.ndarray, n_rows: int,
+                  tile_e: int = 2048) -> jnp.ndarray:
+    """Per-row multiplicity of ``idx`` (the kNN-graph in-degree).
+
+    out[b, m] = #{e : idx[b, e] == m} — the one-hot column sums, computed as
+    a (R, n_lo)^T @ (R, n_hi) dot so the histogram lands on the MXU instead
+    of XLA's latency-bound element scatter (43.8 ms for ANY size, PERF.md).
+
+    :param idx: (B, E) int32 targets in [0, n_rows)
+    :return: (B, n_rows) float32 counts
+    """
+    b, e = idx.shape
+    n_lo = pick_n_lo(n_rows, 8)
+    n_hi = -(-n_rows // n_lo)
+    e_pad = _round_up(e, tile_e)
+    if e_pad != e:
+        idx = jnp.concatenate(
+            [idx, jnp.full((b, e_pad - e), n_hi * n_lo - 1, idx.dtype)],
+            axis=1)
+    grid = (b, e_pad // tile_e)
+    kernel = functools.partial(_kernel_count, r=tile_e, n_lo=n_lo, n_hi=n_hi)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, tile_e, 1), lambda bi, ei: (bi, ei, 0))],
+        out_specs=pl.BlockSpec((1, n_lo, n_hi), lambda bi, ei: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_lo, n_hi), jnp.float32),
+        interpret=interpret_mode(),
+    )(idx[..., None])
+    if e_pad != e:
+        pad_count = jnp.zeros((b, n_lo, n_hi), jnp.float32).at[
+            :, (n_hi * n_lo - 1) % n_lo, n_hi - 1].add(float(e_pad - e))
+        out = out - pad_count
+    return out.swapaxes(1, 2).reshape(b, n_hi * n_lo)[:, :n_rows]
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "tile_e", "exact"))

@@ -11,7 +11,8 @@ from fissure_segmentation_tpu.models.dgcnn_cls import DGCNNCls
 
 @pytest.mark.parametrize("cls,kw", [
     (DGCNNSeg, dict(k=8, in_features=4, num_classes=4, dynamic=False)),
-    (DGCNNReg, dict(k=8, in_features=3, num_classes=6)),
+    pytest.param(DGCNNReg, dict(k=8, in_features=3, num_classes=6),
+                 marks=pytest.mark.slow),
 ])
 def test_bf16_matches_f32_params_and_numerics(cls, kw):
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 128, kw["in_features"]))

@@ -926,6 +926,7 @@ def _dgcnn_cls_params(tm):
     return params, stats
 
 
+@pytest.mark.slow
 def test_deforming_decoder_forward_matches_reference(rng):
     """PC-AE deform variant (folding_net.py:231-288): residual-offset
     decoder built from SharedFullyConnected stacks, plane grid + z=0."""

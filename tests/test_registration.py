@@ -1,4 +1,5 @@
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from fissure_segmentation_tpu.shape_model.registration import (
@@ -13,6 +14,7 @@ def test_tps_interpolates_exactly_at_controls(rng):
     np.testing.assert_allclose(np.asarray(z), np.asarray(f), atol=1e-2)
 
 
+@pytest.mark.slow
 def test_thin_plate_dense_shape(rng):
     x1 = jnp.asarray(rng.uniform(-0.8, 0.8, (1, 20, 3)).astype(np.float32))
     y1 = jnp.asarray(rng.normal(0, 0.05, (1, 20, 3)).astype(np.float32))

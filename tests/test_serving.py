@@ -156,6 +156,7 @@ def test_cnn_mode_runs(case):
     assert res.labelmap.shape == SHAPE
 
 
+@pytest.mark.slow
 def test_cnn_fused_forward_matches_staged(case):
     """segment_case(cnn_apply_fn=...) runs the pre-seg CNN INSIDE the fused
     dispatch; its keypoint/label outputs must closely match the staged
