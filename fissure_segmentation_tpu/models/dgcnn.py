@@ -47,7 +47,7 @@ class EdgeConv(nn.Module):
             idx = fixed_knn_graph
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        if len(self.features) == 1 and fused_edge_enabled():
+        if len(self.features) == 1 and fused_edge_enabled(self.dtype):
             # single-shared-MLP EdgeConvs never materialize the (B, N, k, C)
             # edge tensor (ops/fused_edge.py); same parameter tree
             return FusedEdgeMLPMax(self.features[0], dtype=self.dtype,

@@ -59,15 +59,18 @@ from .pallas.scatter import scatter_add_routed, scatter_count
 _ENV_FLAG = "FSEG_FUSED_EDGE"
 
 
-def fused_edge_enabled() -> bool:
-    """Fused single-layer EdgeConv routing, opt-in via FSEG_FUSED_EDGE=1
-    (tests force-enable it off-TPU, where the scatter kernels run in
-    interpret mode). Off-TPU the fused path is never a win — the XLA CPU
-    backend has no MXU to absorb the one-hot dots."""
+def fused_edge_enabled(dtype=None) -> bool:
+    """Fused single-layer EdgeConv routing. Default policy (measured on the
+    v5e chip, scripts/prof/prof_fused_edge.py, 2026-08-20): ON for bf16 on
+    TPU (train step 89.5 -> 87.0 ms, eval 39.0 -> 38.5 ms), OFF for f32
+    (train 132.7 -> 145.1 ms — the f32 hi/lo-split routed scatter doubles
+    the one-hot MXU work) and OFF off-TPU (no MXU to absorb the one-hot
+    dots; kernels would run in interpret mode). FSEG_FUSED_EDGE=1/0
+    overrides both ways (tests force-enable it off-TPU)."""
     env = os.environ.get(_ENV_FLAG)
     if env is not None:
         return env not in ("0", "false", "False")
-    return False
+    return dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
 
 
 def _gather_reduce(a: jnp.ndarray, idx: jnp.ndarray):

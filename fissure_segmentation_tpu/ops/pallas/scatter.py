@@ -213,13 +213,16 @@ def _kernel_routed(idx_ref, ks_ref, s_ref, p_ref, out_ref, *, tile_n: int,
     ks = ks_ref[0]                                      # (tile_n, c) int32
     s = s_ref[0]                                        # (tile_n, c)
     p = p_ref[0]                                        # (tile_n, c)
-    kio = jax.lax.broadcasted_iota(jnp.int32, (tile_n, kk, c), 1)
-    sp = jnp.where(ks[:, None, :] == kio,
-                   jnp.broadcast_to(s[:, None, :], (tile_n, kk, c)),
-                   jnp.zeros((tile_n, kk, c), s.dtype))
-    pd = jnp.broadcast_to(p[:, None, :], (tile_n, kk, c))
-    pay = jnp.concatenate([sp.reshape(tile_e, c), pd.reshape(tile_e, c)],
-                          axis=-1)                      # (tile_e, 2c)
+    # Edge row e = k * tile_n + n_local (k-MAJOR within the tile; the caller
+    # permutes idx to match), so node fields replicate by sublane concat and
+    # the slot id is e // tile_n — all rank-2. The (tile_n, 1, c) middle-axis
+    # broadcast this replaces has no Mosaic layout ("unsupported shape cast").
+    s_rep = jnp.concatenate([s] * kk, axis=0)           # (tile_e, c)
+    ks_rep = jnp.concatenate([ks] * kk, axis=0)
+    pd = jnp.concatenate([p] * kk, axis=0)
+    kio = jax.lax.broadcasted_iota(jnp.int32, (tile_e, c), 0) // tile_n
+    sp = jnp.where(ks_rep == kio, s_rep, jnp.zeros_like(s_rep))
+    pay = jnp.concatenate([sp, pd], axis=-1)            # (tile_e, 2c)
     if split:
         hi = pay.astype(jnp.bfloat16)
         lo = (pay.astype(jnp.float32) - hi.astype(jnp.float32)
@@ -299,7 +302,8 @@ def scatter_add_routed(idx: jnp.ndarray, kstar: jnp.ndarray, s: jnp.ndarray,
                                lambda bi, ni: (bi, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n_lo, n_hi * c_eff), jnp.float32),
         interpret=interpret_mode(),
-    )(idx.reshape(b, n * kk, 1), kstar, s, p)
+    )(idx.reshape(b, n // tile_n, tile_n, kk).swapaxes(2, 3)
+        .reshape(b, n * kk, 1), kstar, s, p)
     out = out.reshape(b, n_lo, n_hi, c_eff).swapaxes(1, 2).reshape(
         b, n_hi * n_lo, c_eff)[:, :n_rows]
     if split:
