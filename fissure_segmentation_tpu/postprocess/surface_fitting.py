@@ -239,9 +239,14 @@ def _batched_psr_mc(points_grid: jnp.ndarray, valids: jnp.ndarray, grid_res,
                 _bbox_cell_mask(p_c, v_c, grid_res))
 
     phis, masks = jax.vmap(fit_one)(valids)
-    tris, tvalid, n_tris = jax.vmap(
-        lambda p, m: marching_tetrahedra(p, max_tris=max_tris,
-                                         cell_mask=m))(phis, masks)
+    # UNROLLED over classes, not vmapped: the batched scatter/gather lowering
+    # of a vmapped marching_tetrahedra costs ~8x the unrolled per-class cost
+    # (scripts/prof/prof_mt_variants.py)
+    per_class = [marching_tetrahedra(phis[i], max_tris=max_tris,
+                                     cell_mask=masks[i])
+                 for i in range(valids.shape[0])]
+    tris = jnp.stack([p[0] for p in per_class])
+    n_tris = jnp.stack([p[2] for p in per_class])
     inside_bits = jnp.packbits((phis < 0).reshape(phis.shape[0], -1), axis=-1)
     tris_q = jnp.round(jnp.clip(tris * _QSCALE, 0, 65535)).astype(jnp.uint16)
     return inside_bits, tris_q, jnp.minimum(n_tris, max_tris)
@@ -267,10 +272,13 @@ def _batched_psr_mc_packed(points_grid: jnp.ndarray, valids: jnp.ndarray,
                 _bbox_cell_mask(p_c, v_c, grid_res))
 
     phis, masks = jax.vmap(fit_one)(valids)
-    idx, vkey, vfrac_q, n_tris, n_verts = jax.vmap(
-        lambda p, m: marching_tetrahedra_packed(
-            p, max_tris=max_tris, max_verts=max_verts,
-            cell_mask=m))(phis, masks)
+    # unrolled over classes — see _batched_psr_mc
+    per_class = [marching_tetrahedra_packed(phis[i], max_tris=max_tris,
+                                            max_verts=max_verts,
+                                            cell_mask=masks[i])
+                 for i in range(valids.shape[0])]
+    idx, vkey, vfrac_q, n_tris, n_verts = (
+        jnp.stack([p[j] for p in per_class]) for j in range(5))
     inside_bits = jnp.packbits((phis < 0).reshape(phis.shape[0], -1), axis=-1)
     return inside_bits, idx, vkey, vfrac_q, n_tris, n_verts
 
