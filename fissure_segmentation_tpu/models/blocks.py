@@ -20,6 +20,7 @@ from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.edge import edge_mlp_pre_gather
 from ..ops.fused_edge import (fused_edge_enabled, fused_edge_eval,
@@ -86,6 +87,70 @@ class FusedEdgeMLPMax(nn.Module):
         return fused_edge_eval(a, cen, scale, bias, ra_mean.value,
                                ra_var.value, idx, self.epsilon,
                                self.negative_slope)
+
+
+class FusedEdgeTail(nn.Module):
+    """LAST sublayer of a multi-layer EdgeConv: per-edge Dense + BatchNorm +
+    LeakyReLU + max-over-k, with the pointwise tail commuted through
+    per-(n, c) REDUCTIONS of the Dense output (the same per-channel
+    monotonicity argument as ops/fused_edge.py, applied after the second
+    Dense): per channel c the post-BN activation is monotone in
+    q[n, k, c] = (e1[n, k, :] @ W)[c], so
+
+        max_k LeakyReLU(BN(q))[n, k, c] = tail_c(ext_k q[n, k, c])
+
+    with ext = max if gamma_c >= 0 else min, and the exact train-mode
+    BatchNorm statistics come from sum / sum-of-squares k-reductions of q.
+    The (B, N, k, F) post-BN tensor, its LeakyReLU, and their backward
+    cotangent passes are never materialized — the Dense itself still runs
+    per edge (its max cannot commute through a k-varying linear
+    combination). Backward is plain autodiff: the extremum routes the
+    cotangent through one masked pass over q, and dW/de1 are the usual
+    matmul transposes.
+
+    The single extremum is computed as sign * max_k(sign * q) (one reduction
+    + one backward mask pass instead of a max/min pair). Gradient convention
+    at exact k-ties follows jnp.max (split among ties) — like the unfused
+    path, unlike ops/fused_edge.py's torch-style first-slot routing.
+
+    Parameter/batch-stats tree is IDENTICAL to ``SharedMLP`` (Dense_0 +
+    BatchNorm_0), so checkpoints are interchangeable with the unfused tree.
+
+    Reference hot path this replaces: models/dgcnn.py:212-243 (second edge
+    shared-MLP layer + max pool over the materialized edge tensor).
+    """
+    features: int
+    negative_slope: float = 0.2
+    dtype: Any = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, e: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        q = nn.Dense(self.features, use_bias=False,
+                     kernel_init=xavier_normal, dtype=self.dtype,
+                     name="Dense_0")(e)                       # (B, N, k, F)
+        scale, bias, ra_mean, ra_var = _BNParams(self.features,
+                                                 name="BatchNorm_0")()
+        sign = jnp.where(scale >= 0, 1.0, -1.0).astype(q.dtype)
+        sel = sign * jnp.max(sign * q, axis=-2)               # (B, N, F)
+        if train:
+            qf = q.astype(jnp.float32)
+            e_tot = int(np.prod(q.shape[:-1]))
+            red = tuple(range(q.ndim - 1))
+            mean = jnp.sum(qf, axis=red) / e_tot
+            ez2 = jnp.sum(qf * qf, axis=red) / e_tot
+            var = jnp.maximum(0.0, ez2 - mean * mean)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        sigma = jnp.sqrt(var + self.epsilon)
+        u = scale * ((sel.astype(jnp.float32) - mean) / sigma) + bias
+        return jnp.where(u >= 0, u, self.negative_slope * u).astype(q.dtype)
 
 
 class EdgeMLP(nn.Module):

@@ -24,9 +24,9 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import knn
-from ..ops.fused_edge import fused_edge_enabled
-from .blocks import (EdgeMLP, FusedEdgeMLPMax, MLPStack, SharedMLP,
-                     xavier_normal)
+from ..ops.fused_edge import fused_edge_enabled, fused_tail_enabled
+from .blocks import (EdgeMLP, FusedEdgeMLPMax, FusedEdgeTail, MLPStack,
+                     SharedMLP, xavier_normal)
 
 
 class EdgeConv(nn.Module):
@@ -53,6 +53,15 @@ class EdgeConv(nn.Module):
             return FusedEdgeMLPMax(self.features[0], dtype=self.dtype,
                                    name="EdgeMLP_0")(x, idx, train)
         e = EdgeMLP(self.features[0], dtype=self.dtype)(x, idx, train)
+        if len(self.features) > 1 and fused_tail_enabled(self.dtype):
+            # the final Dense+BN+LReLU+max runs on per-(n, c) reductions of
+            # the Dense output; the post-BN edge tensor never materializes
+            # (blocks.py:FusedEdgeTail; checkpoint-compatible module name)
+            for f in self.features[1:-1]:
+                e = SharedMLP(f, dtype=self.dtype)(e, train)
+            return FusedEdgeTail(self.features[-1], dtype=self.dtype,
+                                 name=f"SharedMLP_{len(self.features) - 2}")(
+                e, train)
         for f in self.features[1:]:
             e = SharedMLP(f, dtype=self.dtype)(e, train)
         return jnp.max(e, axis=-2)  # max over neighbors -> (B, N, C')

@@ -57,6 +57,21 @@ from .edge import _flat_gather
 from .pallas.scatter import scatter_add_routed, scatter_count
 
 _ENV_FLAG = "FSEG_FUSED_EDGE"
+_TAIL_ENV_FLAG = "FSEG_FUSED_EDGE_TAIL"
+
+
+def fused_tail_enabled(dtype=None) -> bool:
+    """Fused LAST-sublayer tail for MULTI-layer EdgeConvs
+    (models/blocks.py:FusedEdgeTail — no Pallas kernel involved, pure XLA
+    reductions + autodiff). Default policy (measured on the v5e,
+    scripts/prof/prof_fused_edge.py, 2026-08-20): ON on TPU for both dtypes
+    (bf16 train step 84.9 -> 81.3 ms, f32 134.7 -> 131.2 ms), OFF off-TPU
+    (CPU golden tests keep the reference-shaped graph).
+    FSEG_FUSED_EDGE_TAIL=1/0 overrides both ways."""
+    env = os.environ.get(_TAIL_ENV_FLAG)
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return jax.default_backend() == "tpu"
 
 
 def fused_edge_enabled(dtype=None) -> bool:

@@ -253,3 +253,56 @@ def test_dgcnn_seg_fused_train_step(fused_env):
         lambda g1, g2: np.testing.assert_allclose(
             np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-4),
         g_fused, g_unf)
+
+
+def test_edgeconv_fused_tail_vs_unfused(monkeypatch):
+    """Multi-layer EdgeConv with the fused last-sublayer tail
+    (blocks.FusedEdgeTail): identical parameter tree, and outputs / grads /
+    batch-stats / eval match the unfused Dense+BN+LReLU+max composition."""
+    from fissure_segmentation_tpu.models.dgcnn import EdgeConv
+
+    monkeypatch.setenv("FSEG_FUSED_EDGE", "0")  # isolate the tail fusion
+    monkeypatch.setenv("FSEG_FUSED_EDGE_TAIL", "1")
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.normal(size=(B, N, 8)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, N, size=(B, N, K)), jnp.int32)
+    mod = EdgeConv([16, 16], k=K)
+    variables = mod.init(jax.random.PRNGKey(0), x, idx, True)
+    # negative BN scales exercise the min-extremum branch
+    bn = variables["params"]["SharedMLP_0"]["BatchNorm_0"]
+    neg = jnp.asarray(rng.normal(size=16) + 0.3, jnp.float32)
+    variables = jax.tree_util.tree_map(lambda v: v, variables)
+    variables["params"]["SharedMLP_0"]["BatchNorm_0"] = {**bn, "scale": neg}
+
+    out_f, mut_f = mod.apply(variables, x, idx, True, mutable=["batch_stats"])
+
+    def loss(params, m):
+        o, _ = m.apply({**variables, "params": params}, x, idx, True,
+                       mutable=["batch_stats"])
+        return jnp.sum(o ** 2)
+
+    grads_f = jax.grad(lambda p: loss(p, mod))(variables["params"])
+    eval_f = mod.apply(variables, x, idx, False)
+
+    monkeypatch.setenv("FSEG_FUSED_EDGE_TAIL", "0")
+    mod_u = EdgeConv([16, 16], k=K)
+    vars_u = mod_u.init(jax.random.PRNGKey(0), x, idx, True)
+    assert jax.tree_util.tree_structure(vars_u) == \
+        jax.tree_util.tree_structure(variables)
+    out_u, mut_u = mod_u.apply(variables, x, idx, True,
+                               mutable=["batch_stats"])
+    grads_u = jax.grad(lambda p: loss(p, mod_u))(variables["params"])
+    eval_u = mod_u.apply(variables, x, idx, False)
+
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(eval_f), np.asarray(eval_u),
+                               rtol=1e-5, atol=1e-5)
+    jax.tree_util.tree_map(
+        lambda g1, g2: np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g2), rtol=5e-4, atol=5e-4),
+        grads_f, grads_u)
+    jax.tree_util.tree_map(
+        lambda s1, s2: np.testing.assert_allclose(
+            np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-6),
+        mut_f["batch_stats"], mut_u["batch_stats"])
