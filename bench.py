@@ -115,6 +115,124 @@ def bench_train_throughput(dtype=None, tag="", knn_recall=None):
             f"train_dgcnn{tag}_step_ms": round(step_s * 1e3, 2)}
 
 
+def _chained_step_time(params_init, make_loss, reps=4, lr=1e-3):
+    """Chained Adam steps in one jit (see bench_train_throughput) for an
+    arbitrary (params, aux) loss closure; returns s/step."""
+    import optax
+    tx = optax.adam(lr)
+    opt_state = tx.init(params_init[0])
+
+    @jax.jit
+    def chain(params, aux, opt_state):
+        def body(carry, i):
+            params, aux, opt = carry
+            (l, new_aux), g = jax.value_and_grad(
+                make_loss, has_aux=True)(params, aux, i)
+            upd, opt = tx.update(g, opt, params)
+            return (optax.apply_updates(params, upd), new_aux, opt), l
+
+        (params, aux, opt), ls = jax.lax.scan(
+            body, (params, aux, opt_state),
+            jnp.arange(reps, dtype=jnp.float32))
+        return ls[-1]
+
+    args = (*params_init, opt_state)
+    float(chain(*args))  # compile + warm up
+    return _timeit(lambda: float(chain(*args))) / reps
+
+
+def bench_family_steps():
+    """Train-step time for the other trainable families (beyond the DGCNN
+    flagship): DPSRNet2 (SoftMesh), DG-SSM, PC-AE FoldingNet — at the
+    reference CLI defaults batch 32 / pts 1024 / k 20 (cli_args.py:15,81;
+    ours cli/args.py) with each family's actual registry loss. The
+    reference publishes no per-family step times (losses run AMP-disabled,
+    model_trainer.py:75-76,92); these rows evidence that training the whole
+    model zoo is TPU-resident, not just the flagship."""
+    out = {}
+    B, N, K = 32, 1024, 20
+    key = jax.random.PRNGKey(0)
+
+    # ---- PC-AE (FoldingNet plane decoder, chamfer loss) ----
+    from fissure_segmentation_tpu.losses.chamfer import chamfer_distance
+    from fissure_segmentation_tpu.models.folding_net import DGCNNFoldingNet
+    ae = DGCNNFoldingNet(k=K, n_embedding=512, shape_type="plane",
+                         n_input_points=N, decode_mesh=False)
+    x = jax.random.uniform(key, (B, N, 3), jnp.float32, -0.9, 0.9)
+    v = ae.init(jax.random.PRNGKey(1), x[:1], train=False)
+
+    def pcae_loss(params, bs, i):
+        out_pts, mut = ae.apply(
+            {"params": params, "batch_stats": bs}, x * (1.0 + 1e-12 * i),
+            train=True, mutable=["batch_stats"])
+        return chamfer_distance(out_pts, x), mut["batch_stats"]
+
+    t = _chained_step_time((v["params"], v["batch_stats"]), pcae_loss)
+    out["train_pcae_step_ms"] = round(t * 1e3, 2)
+
+    # ---- DG-SSM (PCA shape model + multi-head regressor, dgssm loss) ----
+    from fissure_segmentation_tpu.losses.dgssm import make_dgssm_loss
+    from fissure_segmentation_tpu.models import DGSSM
+    from fissure_segmentation_tpu.shape_model.ssm import fit_ssm, ssm_project
+    rng_np = np.random.default_rng(2)
+    base = rng_np.uniform(-0.8, 0.8, (1, N, 3))
+    shapes = (base + 0.05 * rng_np.normal(size=(12, N, 3))).astype(np.float32)
+    ssm = fit_ssm(shapes, target_variance=0.95)
+    xs = jnp.asarray(np.tile(shapes, (3, 1, 1))[:B])
+    dgssm = DGSSM(k=K, in_features=3, ssm_modes=ssm.num_modes, dynamic=False)
+    v = dgssm.init(jax.random.PRNGKey(3), xs[:1], ssm, train=False)
+    dgssm_loss = make_dgssm_loss()
+    targ_w = ssm_project(ssm, xs)
+    targ_aff = jnp.concatenate([jnp.zeros((B, 6)), jnp.ones((B, 3))], -1)
+
+    def dgssm_loss_fn(params, bs, i):
+        pred, mut = dgssm.apply(
+            {"params": params, "batch_stats": bs}, xs * (1.0 + 1e-12 * i),
+            ssm, train=True, mutable=["batch_stats"])
+        l, _ = dgssm_loss(pred, (xs, targ_w, targ_aff))
+        return l, mut["batch_stats"]
+
+    t = _chained_step_time((v["params"], v["batch_stats"]), dgssm_loss_fn)
+    out["train_dgssm_step_ms"] = round(t * 1e3, 2)
+
+    # ---- DPSRNet2 (SoftMesh: splat + spectral PSR + marching tets at the
+    # reference --res 128^3 default, dpsr loss = NNU + surface chamfer) ----
+    from fissure_segmentation_tpu.losses.dpsr import make_dpsr_loss
+    from fissure_segmentation_tpu.models import DPSRNet2
+    for b_dpsr in (B, 16, 8):
+        try:
+            model = DPSRNet2(seg_net_class="DGCNN", k=K, in_features=3,
+                             num_classes=4, dynamic=False,
+                             dpsr_res=(128, 128, 128), max_tris=24000,
+                             n_surface_samples=2048)
+            xd = jax.random.uniform(jax.random.PRNGKey(4), (b_dpsr, N, 3),
+                                    jnp.float32, -0.9, 0.9)
+            yd = jax.random.randint(jax.random.PRNGKey(5), (b_dpsr, N), 0, 4)
+            targ_pts = jax.random.uniform(jax.random.PRNGKey(6),
+                                          (b_dpsr, 3, 2048, 3),
+                                          jnp.float32, -0.9, 0.9)
+            v = model.init(jax.random.PRNGKey(7), xd[:1], train=False)
+            dpsr_loss = make_dpsr_loss()
+
+            def dpsr_loss_fn(params, bs, i):
+                pred, mut = model.apply(
+                    {"params": params, "batch_stats": bs},
+                    xd * (1.0 + 1e-12 * i), train=True,
+                    rng=jax.random.PRNGKey(8), mutable=["batch_stats"])
+                l, _ = dpsr_loss(pred, (yd, targ_pts), 1.0)
+                return l, mut["batch_stats"]
+
+            t = _chained_step_time((v["params"], v["batch_stats"]),
+                                   dpsr_loss_fn, reps=2)
+            out["train_dpsrnet2_step_ms"] = round(t * 1e3, 2)
+            out["train_dpsrnet2_batch"] = b_dpsr
+            break
+        except Exception as e:  # noqa: BLE001 — halve batch on OOM
+            if "RESOURCE_EXHAUSTED" not in str(e) and b_dpsr == 8:
+                raise
+    return out
+
+
 def main():
     from fissure_segmentation_tpu.data.synthetic import (
         make_synthetic_image_case, sample_fissure_surface)
@@ -390,6 +508,9 @@ def main():
     # opt-in approximate graph build (--knn_recall 0.9: 0.97 measured recall)
     train_metrics.update(bench_train_throughput(
         jnp.bfloat16, "_bf16_knn_recall_0.9", knn_recall=0.9))
+    # one train-step row per additional trainable family (DPSRNet2 /
+    # DG-SSM / PC-AE) — evidence beyond the flagship
+    train_metrics.update(bench_family_steps())
 
     case_seconds = fused_case_seconds
     hessian_case_seconds = fused_hessian_seconds

@@ -136,6 +136,8 @@ def test_fused_matches_staged_pipeline_functionally(case):
         assert max(np.median(d.min(1)), np.median(d.min(0))) < 0.3
 
 
+@pytest.mark.slow  # ~12 s: compiles its own fused device graph; the
+# enhancement detector itself is unit-tested in test_keypoints/test_extraction
 def test_enhancement_mode_runs(case):
     img, mask, model, variables = case
     res = segment_case(img, mask, model.apply, variables,
@@ -185,6 +187,8 @@ def test_cnn_fused_forward_matches_staged(case):
     assert overlap > 0.99, overlap
 
 
+@pytest.mark.slow  # ~12 s: compiles its own fused device graph; approx
+# top-k selection is unit-tested in test_topk/test_keypoints
 def test_approx_top_k_mode_runs(case):
     """Fast serving variant: approx detector top-k (lax.approx_max_k) must
     produce a structurally equivalent result — same shapes, high keypoint

@@ -187,8 +187,9 @@ def test_profiling_utils():
 @pytest.mark.slow
 def test_trainer_data_parallel_matches_single_device(tmp_path):
     """ModelTrainer(mesh=...) trains with the batch axis sharded over the
-    device mesh; same seeds => near-identical history to the unsharded
-    trainer (differences only from reduction order)."""
+    full 8-device mesh for a MULTI-STEP run (20 epochs); same seeds => the
+    whole loss trajectory matches the unsharded trainer within reduction-
+    order tolerance, and both actually learn."""
     import jax
     import numpy as np
     from fissure_segmentation_tpu.data import PointDataset, make_synthetic_dataset
@@ -198,14 +199,14 @@ def test_trainer_data_parallel_matches_single_device(tmp_path):
     from fissure_segmentation_tpu.train import ModelTrainer, TrainConfig
     import jax.numpy as jnp
 
-    if len(jax.devices()) < 4:
+    if len(jax.devices()) < 8:
         import pytest
-        pytest.skip("needs 4 devices")
+        pytest.skip("needs 8 devices")
 
     cases = make_synthetic_dataset(10, n_points=400, with_feature=True)
     ds = PointDataset(cases, sample_points=128)
     loss_fn = get_loss_fn("nnunet", jnp.asarray(ds.get_class_weights()))
-    cfg = TrainConfig(epochs=4, lr=1e-3, batch_size=8, scheduler="cosine",
+    cfg = TrainConfig(epochs=20, lr=1e-3, batch_size=8, scheduler="cosine",
                       show_every=10, seed=0)
 
     def build(out, mesh):
@@ -214,13 +215,19 @@ def test_trainer_data_parallel_matches_single_device(tmp_path):
 
     t_single = build(str(tmp_path / "single"), None)
     t_single.run()
-    mesh = make_mesh(("data",), devices=jax.devices()[:4])
+    mesh = make_mesh(("data",), devices=jax.devices()[:8])
     t_dp = build(str(tmp_path / "dp"), mesh)
     t_dp.run()
 
     a = np.asarray(t_single.training_history["total_loss"])
     b = np.asarray(t_dp.training_history["total_loss"])
-    np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+    # sharded batches change only the reduction order; trajectories track
+    # within a small drift over the full 20-epoch run
+    np.testing.assert_allclose(a, b, rtol=3e-2, atol=3e-2)
+    av = np.asarray(t_single.validation_history["total_loss"])
+    bv = np.asarray(t_dp.validation_history["total_loss"])
+    np.testing.assert_allclose(av, bv, rtol=3e-2, atol=3e-2)
+    assert a[-1] < a[0] and b[-1] < b[0], "neither run learned"
 
 
 def test_trainer_dp_rejects_indivisible_batch():
