@@ -141,16 +141,16 @@ def _chained_step_time(params_init, make_loss, reps=4, lr=1e-3):
     return _timeit(lambda: float(chain(*args))) / reps
 
 
-def bench_family_steps():
+def bench_family_steps(B=32, N=1024, K=20, dpsr_res=128):
     """Train-step time for the other trainable families (beyond the DGCNN
     flagship): DPSRNet2 (SoftMesh), DG-SSM, PC-AE FoldingNet — at the
-    reference CLI defaults batch 32 / pts 1024 / k 20 (cli_args.py:15,81;
-    ours cli/args.py) with each family's actual registry loss. The
-    reference publishes no per-family step times (losses run AMP-disabled,
-    model_trainer.py:75-76,92); these rows evidence that training the whole
-    model zoo is TPU-resident, not just the flagship."""
+    reference CLI defaults batch 32 / pts 1024 / k 20 / PSR res 128
+    (cli_args.py:15,81,110; ours cli/args.py) with each family's actual
+    registry loss. The reference publishes no per-family step times (losses
+    run AMP-disabled, model_trainer.py:75-76,92); these rows evidence that
+    training the whole model zoo is TPU-resident, not just the flagship.
+    Non-default args exist for the CPU smoke test (tests/ run tiny shapes)."""
     out = {}
-    B, N, K = 32, 1024, 20
     key = jax.random.PRNGKey(0)
 
     # ---- PC-AE (FoldingNet plane decoder, chamfer loss) ----
@@ -203,13 +203,14 @@ def bench_family_steps():
         try:
             model = DPSRNet2(seg_net_class="DGCNN", k=K, in_features=3,
                              num_classes=4, dynamic=False,
-                             dpsr_res=(128, 128, 128), max_tris=24000,
-                             n_surface_samples=2048)
+                             dpsr_res=(dpsr_res,) * 3,
+                             max_tris=24000 if dpsr_res >= 64 else 2000,
+                             n_surface_samples=min(2048, 2 * N))
             xd = jax.random.uniform(jax.random.PRNGKey(4), (b_dpsr, N, 3),
                                     jnp.float32, -0.9, 0.9)
             yd = jax.random.randint(jax.random.PRNGKey(5), (b_dpsr, N), 0, 4)
             targ_pts = jax.random.uniform(jax.random.PRNGKey(6),
-                                          (b_dpsr, 3, 2048, 3),
+                                          (b_dpsr, 3, min(2048, 2 * N), 3),
                                           jnp.float32, -0.9, 0.9)
             v = model.init(jax.random.PRNGKey(7), xd[:1], train=False)
             dpsr_loss = make_dpsr_loss()
@@ -219,7 +220,14 @@ def bench_family_steps():
                     {"params": params, "batch_stats": bs},
                     xd * (1.0 + 1e-12 * i), train=True,
                     rng=jax.random.PRNGKey(8), mutable=["batch_stats"])
-                l, _ = dpsr_loss(pred, (yd, targ_pts), 1.0)
+                # flatten the class dim for the per-class chamfer pairing
+                # (train_dpsr_net.py loss_fn)
+                seg, pts, pvalid = pred
+                b, c1, s, _ = pts.shape
+                l, _ = dpsr_loss(
+                    (seg, pts.reshape(b * c1, s, 3),
+                     pvalid.reshape(b * c1, s)),
+                    (yd, targ_pts.reshape(b * c1, -1, 3)), 1.0)
                 return l, mut["batch_stats"]
 
             t = _chained_step_time((v["params"], v["batch_stats"]),
