@@ -63,10 +63,12 @@ _TAIL_ENV_FLAG = "FSEG_FUSED_EDGE_TAIL"
 def fused_tail_enabled(dtype=None) -> bool:
     """Fused LAST-sublayer tail for MULTI-layer EdgeConvs
     (models/blocks.py:FusedEdgeTail — no Pallas kernel involved, pure XLA
-    reductions + autodiff). Default policy (measured on the v5e,
-    scripts/prof/prof_fused_edge.py, 2026-08-20): ON on TPU for both dtypes
-    (bf16 train step 84.9 -> 81.3 ms, f32 134.7 -> 131.2 ms), OFF off-TPU
-    (CPU golden tests keep the reference-shaped graph).
+    reductions + autodiff). Measured on the v5e (chained A/B, 2026-08-20):
+    bf16 train step 87.04 -> 86.54 ms, f32 132.58 -> 131.64 ms — a small
+    but consistent win (XLA already fused most of the BN/LReLU passes into
+    the matmul/max pipeline; the remaining saving is the BN2 residual and
+    stat passes). Default ON on TPU for both dtypes, OFF off-TPU (CPU
+    golden tests keep the reference-shaped graph).
     FSEG_FUSED_EDGE_TAIL=1/0 overrides both ways."""
     env = os.environ.get(_TAIL_ENV_FLAG)
     if env is not None:
