@@ -44,8 +44,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from fissure_segmentation_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache(min_compile_secs=1.0)
 
 REFERENCE_CASE_SECONDS = 1.352          # performance_time_plot.py:31
 REFERENCE_HESSIAN_SECONDS = 36.81       # performance_time_plot.py:32
@@ -65,6 +66,17 @@ def _timeit(fn, repeats=3):
     return min(times)
 
 
+def _jit_init(model, rng, *args, **static_kw):
+    """model.init under jit: ONE dispatch instead of one per parameter op.
+
+    Eager flax init issues hundreds of tiny device ops; on the tunnel-attached
+    bench chip each pays the ~39 ms dispatch RTT (~60 s for the canonical
+    DGCNN — measured 2026-08-20, vs 2.4 s jitted). Not a chip cost: a
+    colocated host pays ms either way."""
+    return jax.jit(
+        lambda r, *a: model.init(r, *a, train=False, **static_kw))(rng, *args)
+
+
 def bench_train_throughput(dtype=None, tag="", knn_recall=None):
     """North-star: clouds/sec/chip, DGCNN seg fwd+bwd at the canonical
     config (BASELINE.md:21 — batch 32, 2048 pts, k=40, static graph).
@@ -81,7 +93,7 @@ def bench_train_throughput(dtype=None, tag="", knn_recall=None):
                      dtype=dtype, knn_recall=knn_recall)
     x = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3), jnp.float32)
     y = jax.random.randint(jax.random.PRNGKey(1), (B, N), 0, 4)
-    variables = model.init(jax.random.PRNGKey(2), x, train=False)
+    variables = _jit_init(model, jax.random.PRNGKey(2), x)
     tx = optax.adam(1e-3)
     opt_state = tx.init(variables["params"])
 
@@ -141,7 +153,7 @@ def _chained_step_time(params_init, make_loss, reps=4, lr=1e-3):
     return _timeit(lambda: float(chain(*args))) / reps
 
 
-def bench_family_steps(B=32, N=1024, K=20, dpsr_res=128):
+def bench_family_steps(B=32, N=1024, K=20, dpsr_res=128, dpsr_batch=8):
     """Train-step time for the other trainable families (beyond the DGCNN
     flagship): DPSRNet2 (SoftMesh), DG-SSM, PC-AE FoldingNet — at the
     reference CLI defaults batch 32 / pts 1024 / k 20 / PSR res 128
@@ -159,7 +171,7 @@ def bench_family_steps(B=32, N=1024, K=20, dpsr_res=128):
     ae = DGCNNFoldingNet(k=K, n_embedding=512, shape_type="plane",
                          n_input_points=N, decode_mesh=False)
     x = jax.random.uniform(key, (B, N, 3), jnp.float32, -0.9, 0.9)
-    v = ae.init(jax.random.PRNGKey(1), x[:1], train=False)
+    v = _jit_init(ae, jax.random.PRNGKey(1), x[:1])
 
     def pcae_loss(params, bs, i):
         out_pts, mut = ae.apply(
@@ -180,7 +192,7 @@ def bench_family_steps(B=32, N=1024, K=20, dpsr_res=128):
     ssm = fit_ssm(shapes, target_variance=0.95)
     xs = jnp.asarray(np.tile(shapes, (3, 1, 1))[:B])
     dgssm = DGSSM(k=K, in_features=3, ssm_modes=ssm.num_modes, dynamic=False)
-    v = dgssm.init(jax.random.PRNGKey(3), xs[:1], ssm, train=False)
+    v = _jit_init(dgssm, jax.random.PRNGKey(3), xs[:1], ssm)
     dgssm_loss = make_dgssm_loss()
     targ_w = ssm_project(ssm, xs)
     targ_aff = jnp.concatenate([jnp.zeros((B, 6)), jnp.ones((B, 3))], -1)
@@ -199,7 +211,12 @@ def bench_family_steps(B=32, N=1024, K=20, dpsr_res=128):
     # reference --res 128^3 default, dpsr loss = NNU + surface chamfer) ----
     from fissure_segmentation_tpu.losses.dpsr import make_dpsr_loss
     from fissure_segmentation_tpu.models import DPSRNet2
-    for b_dpsr in (B, 16, 8):
+    # dpsr_batch defaults to 8, not B=32: the 4-class 128^3 per-sample PSR
+    # fields put the fwd+bwd footprint at ~1.3 GB/sample, so 16 GB HBM tops
+    # out below batch 16 — measured 2026-08-20, and each *failed* compile of
+    # the larger graph costs ~3 min wall before XLA reports the OOM, which
+    # is why the batch ladder starts at the known-feasible size.
+    for b_dpsr in (min(dpsr_batch, B), min(dpsr_batch, B) // 2):
         try:
             model = DPSRNet2(seg_net_class="DGCNN", k=K, in_features=3,
                              num_classes=4, dynamic=False,
@@ -212,7 +229,7 @@ def bench_family_steps(B=32, N=1024, K=20, dpsr_res=128):
             targ_pts = jax.random.uniform(jax.random.PRNGKey(6),
                                           (b_dpsr, 3, min(2048, 2 * N), 3),
                                           jnp.float32, -0.9, 0.9)
-            v = model.init(jax.random.PRNGKey(7), xd[:1], train=False)
+            v = _jit_init(model, jax.random.PRNGKey(7), xd[:1])
             dpsr_loss = make_dpsr_loss()
 
             def dpsr_loss_fn(params, bs, i):
@@ -236,7 +253,8 @@ def bench_family_steps(B=32, N=1024, K=20, dpsr_res=128):
             out["train_dpsrnet2_batch"] = b_dpsr
             break
         except Exception as e:  # noqa: BLE001 — halve batch on OOM
-            if "RESOURCE_EXHAUSTED" not in str(e) and b_dpsr == 8:
+            if "RESOURCE_EXHAUSTED" not in str(e) and \
+                    b_dpsr <= min(dpsr_batch, B) // 2:
                 raise
     return out
 
@@ -257,8 +275,8 @@ def main():
     mask = jnp.asarray(case["lung_mask"])
 
     model = DGCNNSeg(k=40, in_features=3, num_classes=4, dynamic=False)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 2048, 3), jnp.float32), train=False)
+    variables = _jit_init(model, jax.random.PRNGKey(0),
+                          jnp.zeros((1, 2048, 3), jnp.float32))
 
     # Untrained bench weights collapse every keypoint into one class, which
     # would starve the surface-fit stage of realistic triangle loads. Add a
@@ -394,9 +412,8 @@ def main():
     # jitted 128^3 patches, Gaussian blending) + fg keypoints + softmax-
     # patch features + the same ensemble ----
     cnn = MobileNetASPP(num_classes=4)
-    cnn_vars = cnn.init(jax.random.PRNGKey(5),
-                        jnp.zeros((1, 128, 128, 128, 1), jnp.float32),
-                        train=False)
+    cnn_vars = _jit_init(cnn, jax.random.PRNGKey(5),
+                         jnp.zeros((1, 128, 128, 128, 1), jnp.float32))
 
     def cnn_softmax():
         # whole-volume single-pass forward (models/seg_cnn.py:
@@ -436,8 +453,8 @@ def main():
 
     ae = DGCNNFoldingNet(k=20, n_embedding=512, shape_type="plane",
                          n_input_points=1024, decode_mesh=True)
-    ae_vars = ae.init(jax.random.PRNGKey(7),
-                      jnp.zeros((1, 1024, 3), jnp.float32), train=False)
+    ae_vars = _jit_init(ae, jax.random.PRNGKey(7),
+                        jnp.zeros((1, 1024, 3), jnp.float32))
 
     def one_case_pcae(img, rng):
         kpts, valid, pred = one_case(img, rng)

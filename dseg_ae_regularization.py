@@ -110,6 +110,9 @@ def run(args):
 
 
 if __name__ == "__main__":
+    from fissure_segmentation_tpu.utils.compile_cache import \
+        enable_compile_cache
+    enable_compile_cache()
     parser = get_ae_reg_parser()
     args = parser.parse_args()
     maybe_run_detached_cli(args)

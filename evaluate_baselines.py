@@ -178,6 +178,9 @@ def main(args):
 
 
 if __name__ == "__main__":
+    from fissure_segmentation_tpu.utils.compile_cache import \
+        enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser(
         description="Evaluate baseline (nnU-Net / voxel2mesh) predictions.")
     parser.add_argument("--result_dir", required=True,

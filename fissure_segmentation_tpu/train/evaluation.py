@@ -154,6 +154,15 @@ def _export_case_artifacts(case_id: str, coords_grid: np.ndarray,
                labelmap.astype(np.uint8),
                spacing=tuple(case.get("spacing", (1.0, 1.0, 1.0))))
 
+    # interactive 3-D scene (Open3D draw_geometries replacement,
+    # reference visualization.py:5-16): one offline HTML/WebGL viewer with
+    # the predicted meshes and the labeled keypoint cloud
+    from ..utils.mesh_viewer import export_mesh_viewer
+    export_mesh_viewer(present,
+                       os.path.join(plot_dir, f"{case_id}_viewer.html"),
+                       points=world, point_labels=pred,
+                       title=f"{case_id} predicted fissures")
+
 
 def test_pipeline(ds: PointDataset, apply_fn, variables, out_dir: str,
                   sample_points: int = 2048, n_runs_min: int = 50,

@@ -95,4 +95,7 @@ def main(run_dir="results/demo_tpu_canonical_cv5", n_folds=None):
 
 
 if __name__ == "__main__":
+    from fissure_segmentation_tpu.utils.compile_cache import \
+        enable_compile_cache
+    enable_compile_cache()
     main(*sys.argv[1:])

@@ -191,4 +191,7 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    from fissure_segmentation_tpu.utils.compile_cache import \
+        enable_compile_cache
+    enable_compile_cache()
     main()

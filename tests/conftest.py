@@ -22,8 +22,9 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: XLA-CPU compiles of the big scan graphs
 # (epoch loops, marching tetrahedra) dominate test time otherwise
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.25)
+from fissure_segmentation_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(min_compile_secs=0.25)
 assert jax.default_backend() == "cpu", jax.devices()
 assert len(jax.devices()) == 8
 

@@ -111,3 +111,37 @@ def test_visualization_extras(tmp_path):
     tri = color_2d_mesh_bremm(np.random.rand(9, 2),
                               np.array([[0, 1, 2], [3, 4, 5]]))
     assert tri.shape == (2, 3)
+
+
+def test_mesh_viewer_export(tmp_path):
+    """export_mesh_viewer writes one self-contained HTML file embedding the
+    valid triangles and labeled point layers (the interactive Open3D
+    draw_geometries replacement, reference visualization.py:5-16)."""
+    import base64
+
+    from fissure_segmentation_tpu.utils.mesh_viewer import export_mesh_viewer
+
+    rng = np.random.default_rng(0)
+    tris = rng.uniform(0, 10, (8, 3, 3)).astype(np.float32)
+    valid = np.array([True] * 6 + [False] * 2)
+    pts = rng.uniform(0, 10, (20, 3)).astype(np.float32)
+    labels = np.array([0] * 5 + [1] * 10 + [2] * 5)
+
+    path = export_mesh_viewer(
+        [(tris, valid), (tris[:0], valid[:0])],
+        str(tmp_path / "v.html"), points=pts, point_labels=labels,
+        title="case x")
+    html = open(path).read()
+    assert html.startswith("<!DOCTYPE html>") and "</html>" in html
+    assert "case x" in html and "webgl" in html
+    # no external resources: fully offline
+    assert "http://" not in html and "https://" not in html
+    # layer 0 embeds exactly the 6 valid triangles (54 floats)
+    import json as _json
+    data = _json.loads(html.split("const DATA = ")[1].split(";\n")[0])
+    v0 = np.frombuffer(base64.b64decode(data["layers"][0]["v"]), np.float32)
+    np.testing.assert_allclose(v0, tris[valid].reshape(-1), rtol=1e-6)
+    # 3 point layers (labels 0/1/2) after the 2 mesh layers
+    assert len(data["layers"]) == 5
+    kinds = [l["kind"] for l in data["layers"]]
+    assert kinds == ["mesh", "mesh", "points", "points", "points"]

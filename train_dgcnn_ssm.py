@@ -227,6 +227,9 @@ def test_dgssm(val_ds: CorrespondingPointDataset, model: DGSSM, variables,
 
 
 if __name__ == "__main__":
+    from fissure_segmentation_tpu.utils.compile_cache import \
+        enable_compile_cache
+    enable_compile_cache()
     parser = get_dgcnn_ssm_train_parser()
     args = parser.parse_args()
     maybe_run_detached_cli(args)
