@@ -84,7 +84,8 @@ def get_enhancement_keypoints(enhanced: jnp.ndarray, min_threshold: float = 0.2,
 def get_cnn_keypoints(softmax_scores: jnp.ndarray, lung_mask: jnp.ndarray,
                       feat_patch: int = 5, max_kpts: int = MAX_KPTS,
                       rng: jax.Array | None = None,
-                      want_features: bool = True):
+                      want_features: bool = True,
+                      approx_top_k: bool = False):
     """Keypoints = foreground argmax within the lung mask; features = 5^3
     patches of all softmax channels (keypoint_extraction.py:53-131).
 
@@ -92,6 +93,17 @@ def get_cnn_keypoints(softmax_scores: jnp.ndarray, lung_mask: jnp.ndarray,
     :param want_features: skip the softmax-patch feature sampling (serving
         with a coords-only point model never reads them; the 4x trilinear
         patch gather is the most expensive part of this extraction)
+    :param approx_top_k: select the random foreground subset with the
+        TPU-optimized `jax.lax.approx_max_k` instead of the exact masked
+        top-k. When foreground count > max_kpts (the practical serving
+        regime — fissure foreground at 256^3 is ~100k+ voxels), the scores
+        are uniform RANDOM numbers and the reference itself keeps a
+        uniformly random subset past MAX_KPTS
+        (keypoint_extraction.py:144-151), so the approximate top-k is just a
+        different uniformly random subset: same distribution, ~9 ms cheaper
+        on the 16.7M-voxel volume. Caveat: when foreground is SMALLER than
+        max_kpts, the bucketed reduction may drop up to ~5% of foreground
+        voxels that the exact path would keep.
     :return: (kp (max_kpts, 3) zyx, valid, features (max_kpts, C*p^3) or None)
     """
     pred = jnp.argmax(softmax_scores, -1)
@@ -100,7 +112,10 @@ def get_cnn_keypoints(softmax_scores: jnp.ndarray, lung_mask: jnp.ndarray,
     if rng is None:
         rng = jax.random.PRNGKey(0)
     score = jnp.where(flat, jax.random.uniform(rng, flat.shape), -jnp.inf)
-    top, idx = masked_top_k(score, max_kpts)
+    if approx_top_k:
+        top, idx = jax.lax.approx_max_k(score, max_kpts)
+    else:
+        top, idx = masked_top_k(score, max_kpts)
     valid = jnp.isfinite(top)
     d, h, w, c = softmax_scores.shape
     kp = jnp.stack([idx // (h * w), (idx // w) % h, idx % w], -1).astype(jnp.int32)

@@ -400,24 +400,44 @@ void fseg_voxelize_tris(const float *tris, const uint8_t *valid, int64_t nt,
                     h[2] * std::fabs(ax[2]);
         }
 
+        // Per (z, y) row, the SAT tests are solved ANALYTICALLY instead of
+        // per voxel: every axis test  pmin-r <= s(x) <= pmax+r  with
+        // s(x) = base_zy + ax_x * (x + 0.5) is linear in x, so each axis
+        // admits an x-interval and the row's marked voxels are the
+        // intersection of 10 intervals — O(10) work per row instead of
+        // O(10 * row length). A relative epsilon widens each interval
+        // toward inclusion so float division can only ever OVER-mark a
+        // boundary voxel, preserving the conservative-cover guarantee.
         for (int64_t z = z0; z <= z1; ++z)
             for (int64_t y = y0; y <= y1; ++y) {
                 uint8_t *row = out + (z * ny + y) * nx;
-                for (int64_t x = x0; x <= x1; ++x) {
-                    if (row[x] == label) continue;
-                    const float c[3] = {(float)x + 0.5f, (float)y + 0.5f,
-                                        (float)z + 0.5f};
-                    bool overlap = true;
-                    for (int a = 0; a < 10; ++a) {
-                        const float s = axes[a][0] * c[0] +
-                                        axes[a][1] * c[1] + axes[a][2] * c[2];
-                        if (pmin[a] - s > rr[a] || pmax[a] - s < -rr[a]) {
-                            overlap = false;
-                            break;
-                        }
+                double xlo = (double)x0, xhi = (double)x1;
+                for (int a = 0; a < 10 && xlo <= xhi; ++a) {
+                    const double ax = axes[a][0];
+                    const double base = axes[a][1] * ((double)y + 0.5) +
+                                        axes[a][2] * ((double)z + 0.5) +
+                                        ax * 0.5;  // s at x = 0
+                    const double slo = (double)pmin[a] - (double)rr[a];
+                    const double shi = (double)pmax[a] + (double)rr[a];
+                    const double eps =
+                        1e-4 * (std::fabs(slo) + std::fabs(shi) + 1.0);
+                    if (std::fabs(ax) < 1e-12) {
+                        if (base < slo - eps || base > shi + eps)
+                            xlo = xhi + 1.0;  // empty
+                        continue;
                     }
-                    if (overlap) row[x] = label;
+                    double a_x = (slo - eps - base) / ax;
+                    double b_x = (shi + eps - base) / ax;
+                    if (a_x > b_x) std::swap(a_x, b_x);
+                    if (a_x > xlo) xlo = a_x;
+                    if (b_x < xhi) xhi = b_x;
                 }
+                if (xlo > xhi) continue;
+                const int64_t xa =
+                    std::max<int64_t>(x0, (int64_t)std::ceil(xlo));
+                const int64_t xb =
+                    std::min<int64_t>(x1, (int64_t)std::floor(xhi));
+                for (int64_t x = xa; x <= xb; ++x) row[x] = label;
             }
     }
 }

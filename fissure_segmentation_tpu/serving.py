@@ -90,10 +90,14 @@ def _device_case(vol, mask, variables, rng, *, apply_fn, kp_mode, max_kpts,
         else:
             soft, shape = vol, vol.shape[:-1]
         # want_features=False: the ensemble below feeds coords only, and the
-        # 4x 5^3 trilinear patch gather is the tail's dominant cost
+        # 4x 5^3 trilinear patch gather is the tail's dominant cost.
+        # approx_top_k here is distribution-preserving (random scores — see
+        # get_cnn_keypoints), unlike the foerstner branch where it trades
+        # ~5% recall.
         kpts, valid, _ = get_cnn_keypoints(soft, mask, max_kpts=max_kpts,
                                            rng=jax.random.fold_in(rng, 1),
-                                           want_features=False)
+                                           want_features=False,
+                                           approx_top_k=approx_top_k)
     else:
         raise ValueError(f'serving does not support kp_mode "{kp_mode}"')
 

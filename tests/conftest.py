@@ -24,7 +24,7 @@ jax.config.update("jax_platforms", "cpu")
 # (epoch loops, marching tetrahedra) dominate test time otherwise
 from fissure_segmentation_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
 
-enable_compile_cache(min_compile_secs=0.25)
+enable_compile_cache(min_compile_secs=0.05)
 assert jax.default_backend() == "cpu", jax.devices()
 assert len(jax.devices()) == 8
 

@@ -87,3 +87,38 @@ def test_feature_mode_roundtrips_through_npz(tmp_path):
     assert back["kp_mode"] == "foerstner"
     assert back["feature_mode"] == "mind_ssc"
     np.testing.assert_allclose(back["features"], case["features"])
+
+
+def test_cnn_keypoints_approx_subsample_same_distribution():
+    """approx_top_k on get_cnn_keypoints picks a uniformly random FG subset
+    (the scores are random; reference keypoint_extraction.py:144-151 keeps a
+    random subset past MAX_KPTS) — every selected voxel must be foreground
+    inside the mask, and when fg count <= max_kpts the selection is exactly
+    the foreground set."""
+    import jax.numpy as jnp
+
+    from fissure_segmentation_tpu.keypoints.extraction import get_cnn_keypoints
+
+    rng = np.random.default_rng(3)
+    sm = np.zeros((16, 16, 16, 2), np.float32)
+    sm[..., 0] = 1.0
+    fg = rng.random((16, 16, 16)) < 0.1
+    sm[fg, 0], sm[fg, 1] = 0.1, 0.9
+    mask = np.ones((16, 16, 16), bool)
+    mask[:2] = False
+
+    for approx in (False, True):
+        kp, valid, _ = get_cnn_keypoints(
+            jnp.asarray(sm), jnp.asarray(mask), max_kpts=256,
+            rng=jax.random.PRNGKey(0), want_features=False,
+            approx_top_k=approx)
+        kp, valid = np.asarray(kp), np.asarray(valid)
+        want = fg & mask
+        # fg (~340) > max_kpts: both paths must fill the budget with
+        # foreground-only voxels (a uniformly random subset)
+        assert want.sum() > 256
+        assert valid.sum() == 256
+        sel = kp[valid]
+        assert want[sel[:, 0], sel[:, 1], sel[:, 2]].all()
+        assert len(np.unique(sel[:, 0] * 256 + sel[:, 1] * 16
+                             + sel[:, 2])) == 256

@@ -165,3 +165,30 @@ def test_dispatchers_auto_route(rng):
     p = jnp.asarray(rng.standard_normal((2, 50, 3)), jnp.float32)
     assert jnp.all(farthest_point_sampling(p, 6)
                    == farthest_point_sampling(p, 6, use_pallas=False))
+
+
+def test_depthwise_conv3_matches_xla():
+    """Both pallas depthwise formulations (pipelined 3-z-ref and manual-DMA
+    ring) must match lax grouped conv, stride 1 SAME. These kernels are a
+    measured NEGATIVE result on the bench chip (PERF.md "Negative results":
+    XLA's grouped conv wins at the serving shapes) and are kept unwired as
+    the experimental record — correctness is still pinned here."""
+    from jax import lax
+
+    from fissure_segmentation_tpu.ops.pallas.depthwise import (
+        depthwise_conv3, depthwise_conv3_ring)
+
+    rng = jax.random.PRNGKey(0)
+    for shape, th in (((1, 6, 16, 16, 8), 8), ((2, 5, 32, 8, 5), 8)):
+        c = shape[-1]
+        x = jax.random.normal(rng, shape, jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, c),
+                              jnp.float32)
+        ref = lax.conv_general_dilated(
+            x, w.reshape(3, 3, 3, 1, c), (1, 1, 1), "SAME",
+            feature_group_count=c,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        np.testing.assert_allclose(depthwise_conv3(x, w), ref,
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(depthwise_conv3_ring(x, w, th=th), ref,
+                                   atol=1e-4, rtol=1e-4)
