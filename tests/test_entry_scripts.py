@@ -249,3 +249,44 @@ def test_experiment_grid_scripts_parse():
     assert scripts, "no grid scripts found"
     for s in scripts:
         subprocess.run(["bash", "-n", s], check=True)
+
+
+@pytest.mark.slow
+def test_serve_case_entry(tmp_path):
+    """scripts/serve_case.py: single-case fused serving CLI — npz image +
+    mask + tiny trained checkpoint -> OBJ meshes, labelmap NIfTI, keypoints
+    npz and the interactive viewer HTML (reference has no single-case CLI;
+    its serving runs only through train.py --test, train.py:179-321)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    import serve_case
+
+    from fissure_segmentation_tpu.data.synthetic import \
+        make_synthetic_image_case
+    from fissure_segmentation_tpu.models import DGCNNSeg
+    from fissure_segmentation_tpu.models.io import save_model
+
+    case = make_synthetic_image_case(0, shape=(48, 48, 48))
+    np.savez(tmp_path / "img.npz", image=case["image"])
+    np.savez(tmp_path / "mask.npz", image=case["lung_mask"].astype(np.uint8))
+
+    model = DGCNNSeg(k=8, in_features=3, num_classes=4, dynamic=False)
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 3), jnp.float32))
+    save_model(model, variables, str(tmp_path / "model.fst"))
+
+    out = tmp_path / "out"
+    res = serve_case.main([
+        "--image", str(tmp_path / "img.npz"),
+        "--mask", str(tmp_path / "mask.npz"),
+        "--model", str(tmp_path / "model.fst"), "--out", str(out),
+        "--kp_mode", "foerstner"])
+    assert (out / "fissure1_pred.obj").exists()
+    assert (out / "fissures_pred.nii.gz").exists()
+    assert (out / "viewer.html").exists()
+    kp = np.load(out / "keypoints.npz")
+    assert len(kp["kpts"]) == len(kp["labels"]) > 0
+    assert res.labelmap.shape == (48, 48, 48)
