@@ -279,7 +279,7 @@ def main():
     # serving rows and the north-star train rows always run and the JSON
     # line always prints. FSEG_BENCH_BUDGET_S=0 disables the guard.
     t_main0 = time.perf_counter()
-    budget = float(os.environ.get("FSEG_BENCH_BUDGET_S", "1500"))
+    budget = float(os.environ.get("FSEG_BENCH_BUDGET_S", "2100"))
     skipped = []
 
     def over_budget(section: str, est: float, reserve: float) -> bool:
@@ -381,7 +381,7 @@ def main():
     dimg = jax.device_put(img)
     dmask = jax.device_put(mask.astype(bool))
 
-    def time_fused(vol, mode, reps=3, apply=None, approx=False, **kw):
+    def time_fused(vol, mode, reps=6, apply=None, approx=False, **kw):
         def once(seed):
             return segment_case(vol, dmask, apply or biased_apply, variables,
                                 jax.random.PRNGKey(seed), kp_mode=mode,
@@ -420,6 +420,27 @@ def main():
                                               approx=True)
     assert fast_res.labelmap.any(), "fast pipeline produced empty labelmap"
 
+    # throughput-pipelined batch serving (serving.segment_cases): case i's
+    # packed fetch + native host filter overlap case i+1's device dispatch,
+    # so batch throughput approaches 1/max(device, tail) instead of
+    # 1/(device+tail) — same executable as the exact row above
+    from fissure_segmentation_tpu.serving import segment_cases
+    NPIPE = 6
+    t0 = time.perf_counter()
+    pipe_res = segment_cases([dimg] * NPIPE, [dmask] * NPIPE, biased_apply,
+                             variables, jax.random.PRNGKey(3), window=2,
+                             center_x=SHAPE[2] / 2)
+    pipe_s = (time.perf_counter() - t0) / NPIPE
+    assert all(r.labelmap.any() for r in pipe_res)
+    train_metrics["serving_pipelined_s_per_case"] = round(pipe_s, 4)
+    train_metrics["serving_pipelined_cases_per_sec"] = round(1 / pipe_s, 2)
+
+    # one train-step row per additional trainable family (DPSRNet2 /
+    # DG-SSM / PC-AE) — evidence beyond the flagship; measured before the
+    # skippable diagnostics so a slow compile server drops those first
+    if not over_budget("family_train_steps", 300, 400):
+        train_metrics.update(bench_family_steps())
+
     REPS = 5
 
     # ---- exact vs approx_max_k keypoint extraction (detector only):
@@ -435,7 +456,7 @@ def main():
 
     # essential work still ahead of each optional section (train benches
     # ~500 s + the fused-CNN headline row ~150 s), for the budget guard
-    if over_budget("foerstner_detector_stages", 180, 150):
+    if over_budget("foerstner_detector_stages", 180, 200):
         foerstner_exact_seconds = foerstner_approx_seconds = None
     else:
         foerstner_exact_seconds = chained_scalar(foerstner_only(False), REPS)
@@ -443,7 +464,7 @@ def main():
 
     # ---- staged keypoints+prediction for the PC-AE pipeline and the
     # representative stage-B point sets below ----
-    do_staged = not over_budget("staged_pcae_and_stage_b", 420, 150)
+    do_staged = not over_budget("staged_pcae_and_stage_b", 420, 200)
     if do_staged:
         fetch = jax.jit(one_case)
         kpts, valid, pred = (np.asarray(a)
@@ -468,7 +489,7 @@ def main():
         float(jnp.sum(soft[0, 0, 0]))
         return soft
 
-    if over_budget("cnn_staged_stages", 300, 150):
+    if over_budget("cnn_staged_stages", 300, 200):
         cnn_window_seconds = cnn_tail_seconds = None
     else:
         soft = cnn_softmax()                   # warm-up (compiles fwd)
@@ -583,11 +604,6 @@ def main():
             times.append(time.perf_counter() - t0)
         stage_b_seconds = min(times)
         assert labelmap.any(), "pipeline produced an empty labelmap"
-
-    # one train-step row per additional trainable family (DPSRNet2 /
-    # DG-SSM / PC-AE) — evidence beyond the flagship
-    if not over_budget("family_train_steps", 400, 0):
-        train_metrics.update(bench_family_steps())
 
     case_seconds = fused_case_seconds
     hessian_case_seconds = fused_hessian_seconds

@@ -209,3 +209,30 @@ def test_approx_top_k_mode_runs(case):
     ak = {tuple(k) for k in approx.kpts}
     recall = len(ek & ak) / max(1, len(ek))
     assert recall > 0.9, recall
+
+
+def test_segment_cases_pipelined_matches_sequential(case):
+    """serving.segment_cases keeps a window of device dispatches in flight;
+    results must be IDENTICAL to per-case segment_case calls with the same
+    per-case fold_in rngs (same executable, same inputs — the pipelining
+    only reorders host-side fetches)."""
+    from fissure_segmentation_tpu.serving import segment_cases
+
+    img, mask, model, variables = case
+    rng = jax.random.PRNGKey(11)
+    vols = [img, img * 1.0001, img]
+    masks = [mask] * 3
+
+    batch = segment_cases(vols, masks, model.apply, variables, rng,
+                          window=2, center_x=SHAPE[2] / 2, **CFG)
+    assert len(batch) == 3
+    for i, r in enumerate(batch):
+        ref = segment_case(vols[i], masks[i], model.apply, variables,
+                           jax.random.fold_in(rng, i),
+                           center_x=SHAPE[2] / 2, **CFG)
+        np.testing.assert_array_equal(r.kpts, ref.kpts)
+        np.testing.assert_array_equal(r.labels, ref.labels)
+        np.testing.assert_array_equal(r.labelmap, ref.labelmap)
+        for (t1, v1), (t2, v2) in zip(r.meshes, ref.meshes):
+            np.testing.assert_array_equal(v1, v2)
+            np.testing.assert_allclose(t1, t2, rtol=0, atol=0)
