@@ -419,8 +419,12 @@ void fseg_voxelize_tris(const float *tris, const uint8_t *valid, int64_t nt,
                                         ax * 0.5;  // s at x = 0
                     const double slo = (double)pmin[a] - (double)rr[a];
                     const double shi = (double)pmax[a] + (double)rr[a];
+                    // widen only enough to absorb float rounding of the
+                    // double division below (~few ULPs of the projections);
+                    // 1e-4 here over-marked ~0.05 s-units of boundary voxels
+                    // at 256^3 coordinates (ADVICE r4)
                     const double eps =
-                        1e-4 * (std::fabs(slo) + std::fabs(shi) + 1.0);
+                        1e-6 * (std::fabs(slo) + std::fabs(shi) + 1.0);
                     if (std::fabs(ax) < 1e-12) {
                         if (base < slo - eps || base > shi + eps)
                             xlo = xhi + 1.0;  // empty

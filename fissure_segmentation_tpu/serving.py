@@ -216,7 +216,8 @@ def segment_cases(volumes, masks, apply_fn, variables, rng, *,
     host_only = {"rights", "center_x", "lung_mask_filter",
                  "mask_dilate_radius", "crop_to_bbox", "make_labelmap"}
     sig = inspect.signature(segment_case)
-    bad = set(kwargs) - set(sig.parameters)
+    positional = {"vol", "mask", "apply_fn", "variables", "rng"}
+    bad = set(kwargs) - (set(sig.parameters) - positional)
     if bad:
         raise TypeError(f"unknown kwargs: {sorted(bad)}")
 

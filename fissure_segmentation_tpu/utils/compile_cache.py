@@ -16,12 +16,21 @@ side-effect-free for embedders that manage their own cache policy).
 Env overrides:
   FSEG_COMPILE_CACHE=0    disable entirely
   FSEG_COMPILE_CACHE=/dir use a custom cache directory
+
+The default directory is user-scoped ($XDG_CACHE_HOME/fseg_jax or
+~/.cache/fseg_jax): a world-shared /tmp path would let another local user
+pre-populate the directory JAX deserializes executables from
+(cache-poisoning surface) and causes cross-user permission collisions.
 """
 from __future__ import annotations
 
 import os
 
-DEFAULT_DIR = "/tmp/jax_cache"
+
+def _default_dir() -> str:
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    return os.path.join(base, "fseg_jax")
 
 
 def enable_compile_cache(path: str | None = None,
@@ -29,7 +38,7 @@ def enable_compile_cache(path: str | None = None,
     """Idempotently enable the JAX persistent compilation cache.
 
     :param path: cache directory (default: $FSEG_COMPILE_CACHE or
-        /tmp/jax_cache)
+        $XDG_CACHE_HOME/fseg_jax or ~/.cache/fseg_jax)
     :param min_compile_secs: only persist executables whose compile took at
         least this long (tiny op-by-op executables aren't worth the disk)
     :return: the cache dir in effect, or None when disabled
@@ -38,7 +47,7 @@ def enable_compile_cache(path: str | None = None,
     if env in ("0", "false", "False"):
         return None
     if path is None:
-        path = env if env else DEFAULT_DIR
+        path = env if env else _default_dir()
 
     import jax
 

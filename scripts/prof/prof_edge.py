@@ -2,7 +2,7 @@
 import time
 import jax, jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", __import__("os").path.expanduser("~/.cache/fseg_jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from fissure_segmentation_tpu.ops.edge import edge_mlp_pre_gather, gather_neighbors

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", __import__("os").path.expanduser("~/.cache/fseg_jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from fissure_segmentation_tpu.data.synthetic import (

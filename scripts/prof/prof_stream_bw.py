@@ -3,7 +3,7 @@ import functools, time
 import jax, jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", __import__("os").path.expanduser("~/.cache/fseg_jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 B, E, C = 32, 81920, 64
