@@ -33,7 +33,12 @@ device stages therefore chain REPS data-dependent cases inside ONE jit via
 lax.scan and fetch a single scalar. Stage B and the CNN sliding window
 inherently cross the host<->device boundary, so they are wall-clock timed
 after a warm-up — tunnel transfer makes those conservative (pessimistic)
-estimates vs. a colocated host.
+estimates vs. a colocated host. Serving rows report the MEDIAN of warm
+repeats (r5; mins are in details): the tunnel's ±50 ms per-call sync jitter
+exceeds real config deltas, so min-of-N orderings flipped between sessions
+(r3/r4 fast-vs-exact). The exact and fast variants are timed interleaved so
+both face the same session conditions; the pipelined row runs a warm-up
+batch then takes the best of 2 timed batches with per-case instrumentation.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline", "details"}.
 """
@@ -376,12 +381,21 @@ def main():
     # the chained-scan methodology (upload is not a per-case cost for a
     # device-resident store; over the tunnel it would add ~1.3 s that a
     # colocated host pays in ~20 ms). ----
+    from statistics import median
+
     from fissure_segmentation_tpu.serving import segment_case
 
     dimg = jax.device_put(img)
     dmask = jax.device_put(mask.astype(bool))
 
     def time_fused(vol, mode, reps=6, apply=None, approx=False, **kw):
+        """Warm + time one serving config; returns (times list, warm res).
+
+        r5 protocol change: rows report the MEDIAN (mins in details). The
+        tunnel's per-call sync jitter is ~±50 ms — larger than real config
+        differences — so a min over single-digit reps is an unstable
+        extreme statistic (r3/r4 fast-vs-exact orderings flipped between
+        sessions on exactly this)."""
         def once(seed):
             return segment_case(vol, dmask, apply or biased_apply, variables,
                                 jax.random.PRNGKey(seed), kp_mode=mode,
@@ -392,11 +406,24 @@ def main():
         times = []
         for s in range(1, reps + 1):
             t0 = time.perf_counter()
-            res = once(s)
+            once(s)
             times.append(time.perf_counter() - t0)
-        return min(times), res
+        return times, res
 
-    fused_case_seconds, fused_res = time_fused(dimg, "foerstner")
+    # warm both the exact and the fast executable BEFORE timing either, then
+    # INTERLEAVE their timed repeats so both see the same tunnel conditions
+    # (back-to-back blocks confound config with session drift).
+    model_fast = DGCNNSeg(k=40, in_features=3, num_classes=4, dynamic=False,
+                          dtype=jnp.bfloat16, knn_recall=0.9)
+    biased_apply_fast = make_biased_apply(model_fast)
+
+    def once_cfg(fast, seed):
+        return segment_case(
+            dimg, dmask, biased_apply_fast if fast else biased_apply,
+            variables, jax.random.PRNGKey(seed), kp_mode="foerstner",
+            center_x=SHAPE[2] / 2, approx_top_k=fast)
+
+    fused_res = once_cfg(False, 0)             # compile + warm exact
     n_fused_tris = [int(v.sum()) for _, v in fused_res.meshes]
     # every foreground class must come out as a real mesh — an empty class
     # means the extraction budget or the class routing broke, and the PSR/MT
@@ -404,36 +431,58 @@ def main():
     assert all(n > 0 for n in n_fused_tris), \
         f"empty fused mesh class: {n_fused_tris}"
     assert fused_res.labelmap.any(), "fused pipeline produced empty labelmap"
-    fused_hessian_seconds, _ = time_fused(dimg, "enhancement")
-
-    # fast serving variant: bf16 compute (argmax-parity, tests/test_bf16.py),
-    # approx graph build (recall_target 0.9 -> measured 0.97 recall) and the
-    # approx detector top-k (the reference randomly subsamples past MAX_KPTS
-    # anyway). Same params; exact-vs-fast Dice/ASSD deltas recorded in
-    # README ("End-to-end accuracy on TPU").
-    model_fast = DGCNNSeg(k=40, in_features=3, num_classes=4, dynamic=False,
-                          dtype=jnp.bfloat16, knn_recall=0.9)
-    biased_apply_fast = make_biased_apply(model_fast)
-
-    fused_fast_seconds, fast_res = time_fused(dimg, "foerstner",
-                                              apply=biased_apply_fast,
-                                              approx=True)
+    fast_res = once_cfg(True, 0)               # compile + warm fast
     assert fast_res.labelmap.any(), "fast pipeline produced empty labelmap"
+
+    t_exact, t_fast = [], []
+    for s in range(1, 9):
+        t0 = time.perf_counter()
+        once_cfg(False, s)
+        t_exact.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        once_cfg(True, s)
+        t_fast.append(time.perf_counter() - t0)
+    fused_case_seconds = median(t_exact)
+    fused_fast_seconds = median(t_fast)
+
+    hessian_times, _ = time_fused(dimg, "enhancement")
+    fused_hessian_seconds = median(hessian_times)
 
     # throughput-pipelined batch serving (serving.segment_cases): case i's
     # packed fetch + native host filter overlap case i+1's device dispatch,
     # so batch throughput approaches 1/max(device, tail) instead of
-    # 1/(device+tail) — same executable as the exact row above
+    # 1/(device+tail) — same executable as the exact row above. r5 protocol:
+    # a warm-up batch first (the r4 driver's single COLD shot measured the
+    # one-time eager-key compile + a tunnel stall as "2.11 s/case"), then
+    # min over timed batches, with per-case dispatch/finish instrumentation
+    # recorded so a recurrence is diagnosable from the artifact itself.
     from fissure_segmentation_tpu.serving import segment_cases
-    NPIPE = 6
-    t0 = time.perf_counter()
-    pipe_res = segment_cases([dimg] * NPIPE, [dmask] * NPIPE, biased_apply,
-                             variables, jax.random.PRNGKey(3), window=2,
-                             center_x=SHAPE[2] / 2)
-    pipe_s = (time.perf_counter() - t0) / NPIPE
-    assert all(r.labelmap.any() for r in pipe_res)
+    NPIPE = 8
+    segment_cases([dimg] * 2, [dmask] * 2, biased_apply, variables,
+                  jax.random.PRNGKey(2), window=2, center_x=SHAPE[2] / 2)
+    batch_means, case_tms = [], []
+    for rep in range(2):
+        tm: list = []
+        t0 = time.perf_counter()
+        pipe_res = segment_cases([dimg] * NPIPE, [dmask] * NPIPE,
+                                 biased_apply, variables,
+                                 jax.random.PRNGKey(3 + rep), window=2,
+                                 center_x=SHAPE[2] / 2, timings=tm)
+        batch_means.append((time.perf_counter() - t0) / NPIPE)
+        case_tms += tm
+        assert all(r.labelmap.any() for r in pipe_res)
+    pipe_s = min(batch_means)
     train_metrics["serving_pipelined_s_per_case"] = round(pipe_s, 4)
     train_metrics["serving_pipelined_cases_per_sec"] = round(1 / pipe_s, 2)
+    train_metrics["serving_pipelined_batch_means"] = [
+        round(b, 4) for b in batch_means]
+    train_metrics["pipelined_dispatch_ms_median"] = round(
+        1e3 * median(t["dispatch_s"] for t in case_tms), 1)
+    train_metrics["pipelined_finish_ms_median"] = round(
+        1e3 * median(t["finish_s"] for t in case_tms), 1)
+    train_metrics["serving_exact_min_s"] = round(min(t_exact), 4)
+    train_metrics["fused_fast_min_s"] = round(min(t_fast), 4)
+    train_metrics["hessian_min_s"] = round(min(hessian_times), 4)
 
     # one train-step row per additional trainable family (DPSRNet2 /
     # DG-SSM / PC-AE) — evidence beyond the flagship; measured before the
@@ -498,7 +547,8 @@ def main():
         # staged tail: cnn keypoints -> ensemble -> PSR -> MT on a
         # precomputed softmax volume (the two-dispatch protocol; kept as a
         # stage diagnostic)
-        cnn_tail_seconds, _ = time_fused(soft, "cnn", reps=2)
+        cnn_tail_times, _ = time_fused(soft, "cnn", reps=2)
+        cnn_tail_seconds = median(cnn_tail_times)
 
     # FULLY fused CNN pipeline: MobileNetASPP full-volume forward + cnn
     # keypoints + ensemble + PSR + MT in ONE dispatch on the raw CT
@@ -512,10 +562,12 @@ def main():
     # detector where approx trades recall of meaningful scores.
     model_bf16 = DGCNNSeg(k=40, in_features=3, num_classes=4, dynamic=False,
                           dtype=jnp.bfloat16)
-    cnn_fused_seconds, cnn_res = time_fused(
+    cnn_fused_times, cnn_res = time_fused(
         dimg, "cnn", apply=make_biased_apply(model_bf16), approx=True,
         cnn_apply_fn=cnn.apply, cnn_variables=cnn_vars,
         cnn_dtype=jnp.bfloat16)
+    cnn_fused_seconds = median(cnn_fused_times)
+    train_metrics["cnn_min_s"] = round(min(cnn_fused_times), 4)
     assert cnn_res.labelmap.any(), "cnn fused pipeline: empty labelmap"
 
     # ---- DGCNN+PC-AE pipeline (reference: 0.418 s/case,
@@ -645,7 +697,8 @@ def main():
     print(json.dumps({
         "metric": "full-case serving latency (Foerstner keypoints on 256^3 CT"
                   " -> 50x2048-subset DGCNN ensemble -> 3x spectral-PSR mesh"
-                  " fit + labelmap; ONE fused dispatch + packed fetch, 1 chip)",
+                  " fit + labelmap; ONE fused dispatch + packed fetch, 1 chip;"
+                  " median of 8 warm repeats, exact/fast interleaved)",
         "value": round(case_seconds, 4),
         "unit": "s/case",
         "vs_baseline": round(REFERENCE_CASE_SECONDS / case_seconds, 3),

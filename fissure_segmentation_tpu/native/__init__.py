@@ -11,6 +11,7 @@ package works even without a toolchain.
 Public API (all NumPy in / NumPy out):
     available()                 -> bool
     cc_label_3d(grid)           -> (labels int32 zyx, n_components)
+    cc_stats(labels, n)         -> (sizes int64, x_sums float64) per label
     point_mesh_distance(verts, tris, queries) -> (nq,) float32
     voxelize_triangles(tris, valid, shape, label, out=None) -> uint8 zyx
     binary_dilate_3d(grid, iters) -> uint8 zyx
@@ -74,6 +75,10 @@ def _load():
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.fseg_cc_label_3d.restype = i32
         lib.fseg_cc_label_3d.argtypes = [u8p, i64, i64, i64, i32p]
+        lib.fseg_cc_stats.restype = None
+        lib.fseg_cc_stats.argtypes = [i32p, i64, i64, i64, i32,
+                                      ctypes.POINTER(ctypes.c_int64),
+                                      ctypes.POINTER(ctypes.c_double)]
         lib.fseg_point_mesh_dist.restype = None
         lib.fseg_point_mesh_dist.argtypes = [f32p, i64, i32p, i64, f32p, i64,
                                              f32p]
@@ -111,6 +116,31 @@ def cc_label_3d(grid: np.ndarray):
     n = lib.fseg_cc_label_3d(_ptr(grid, ctypes.c_uint8), nz, ny, nx,
                              _ptr(labels, ctypes.c_int32))
     return labels, int(n)
+
+
+def cc_stats(labels: np.ndarray, n: int):
+    """Per-component (voxel count, x-sum) for a `cc_label_3d` labeling —
+    the inputs of keep_largest_component's size/side scoring, in one native
+    pass. Fallback: numpy bincounts.
+
+    :return: (sizes (n,) int64, xsum (n,) float64)
+    """
+    labels = np.ascontiguousarray(labels, np.int32)
+    lib = _load()
+    if lib is None or n <= 0:
+        sizes = np.bincount(labels.ravel(), minlength=n + 1)[1:n + 1]
+        xs = np.broadcast_to(np.arange(labels.shape[2], dtype=np.float64),
+                             labels.shape)
+        xsum = np.bincount(labels.ravel(), weights=xs.ravel(),
+                           minlength=n + 1)[1:n + 1]
+        return sizes.astype(np.int64), xsum
+    sizes = np.empty(n, np.int64)
+    xsum = np.empty(n, np.float64)
+    nz, ny, nx = labels.shape
+    lib.fseg_cc_stats(_ptr(labels, ctypes.c_int32), nz, ny, nx, n,
+                      _ptr(sizes, ctypes.c_int64),
+                      _ptr(xsum, ctypes.c_double))
+    return sizes, xsum
 
 
 def point_mesh_distance(verts: np.ndarray, tris: np.ndarray,

@@ -334,6 +334,145 @@ def _marching_candidates(phi, max_tris, iso, cell_mask):
     return tvalid, n_tris, idx_buf, phi
 
 
+def _gather_triangles_batched(phis: jnp.ndarray, gids: jnp.ndarray,
+                              iso: float):
+    """Batched _gather_triangles: corner values are gathered from the FLAT
+    (B*D*H*W,) field with globally-offset indices, so reverse mode produces
+    ONE flat scatter-add instead of B instance scatters."""
+    bn, d, h, w = phis.shape
+    cy, cx = h - 1, w - 1
+    dt = phis.dtype
+    t_ = gids.shape[1]
+    cell = gids // 12
+    rem = gids % 12
+    tet, slot = rem // 2, rem % 2
+    x = cell % cx
+    y = (cell // cx) % cy
+    z = cell // (cx * cy)                                      # (B, T)
+
+    corner_ids = jnp.asarray(_TETS, jnp.int32)[tet]            # (B, T, 4)
+    offs = jnp.asarray(_CORNERS, jnp.int32)[corner_ids]        # (B, T, 4, 3)
+    inst = jnp.arange(bn, dtype=jnp.int32)[:, None, None]
+    fidx = ((inst * d + z[..., None] + offs[..., 0]) * h
+            + y[..., None] + offs[..., 1]) * w \
+        + x[..., None] + offs[..., 2]                          # (B, T, 4)
+    vals = phis.reshape(-1)[fidx]                              # (B, T, 4)
+    ins = (vals < iso).astype(jnp.int32)
+    case = ins[..., 0] + 2 * ins[..., 1] + 4 * ins[..., 2] + 8 * ins[..., 3]
+    edges = jnp.asarray(_TET_TABLE)[case, slot]                # (B, T, 3)
+    e = jnp.maximum(edges, 0)
+    ab = jnp.asarray(_TET_EDGES, jnp.int32)[e]                 # (B, T, 3, 2)
+
+    bi = jnp.arange(bn)[:, None, None, None]
+    ti = jnp.arange(t_)[None, :, None, None]
+    vgath = vals[bi, ti, ab]                                   # (B, T, 3, 2)
+    ogath = offs[bi, ti, ab].astype(dt)                        # (B, T, 3, 2, 3)
+    va, vb = vgath[..., 0], vgath[..., 1]
+    diff = vb - va
+    frac = (iso - va) / jnp.where(jnp.abs(diff) < 1e-12, 1e-12, diff)
+    frac = jnp.clip(frac, 0.0, 1.0)                            # (B, T, 3)
+    oa, ob = ogath[:, :, :, 0, :], ogath[:, :, :, 1, :]
+    base = jnp.stack([z, y, x], -1).astype(dt)[:, :, None, :]  # (B, T, 1, 3)
+    return base + oa + frac[..., None] * (ob - oa)             # (B, T, 3, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("max_tris", "iso"))
+def marching_tetrahedra_batched(phis: jnp.ndarray, max_tris: int = 24000,
+                                iso: float = 0.0,
+                                cell_masks: jnp.ndarray | None = None):
+    """Batched marching_tetrahedra over (B, D, H, W) fields in one program.
+
+    Per-instance extraction under `lax.map` serializes B candidate passes
+    (and under vmap the compaction scatters lower to slow batched scatter):
+    the DPSRNet2 train step spends ~594 of its 787 ms in a 24-instance
+    lax.map at 128^3 (scripts/prof/prof_dpsrnet2.py, BENCH_r04 shapes).
+    This path runs the counting pass, the per-row cumsums, the two
+    compactions and the final differentiable reconstruction BATCHED, with
+    every scatter/gather on instance-offset FLAT indices — one 1-D scatter
+    per compaction and one flat scatter-add in the backward, regardless
+    of B. Per instance it is the same count-then-emit algorithm as
+    `marching_tetrahedra` with identical candidate order (z-order
+    truncation parity; tests/test_marching.py pins batched == per-instance).
+
+    :param phis: (B, D, H, W) scalar fields
+    :param cell_masks: optional (B, D-1, H-1, W-1) bool
+    :return: (tris (B, max_tris, 3, 3), valid (B, max_tris), n_tris (B,))
+    """
+    bn, d, h, w = phis.shape
+    if min(d, h, w) < 2:
+        raise ValueError(f"marching_tetrahedra needs >= 2 samples per axis, "
+                         f"got {phis.shape}")
+    cz, cy, cx = d - 1, h - 1, w - 1
+    m = cz * cy * cx
+    if cell_masks is not None and cell_masks.shape != (bn, cz, cy, cx):
+        raise ValueError(f"cell_masks shape {cell_masks.shape} != "
+                         f"{(bn, cz, cy, cx)}")
+    phi_ng = jax.lax.stop_gradient(phis)
+
+    # pass 1: per-cell triangle counts (element-wise on shifted slices)
+    ins = [(phi_ng[:, dz:dz + cz, dy:dy + cy, dx:dx + cx] < iso)
+           .astype(jnp.int32) for dz, dy, dx in _CORNERS]
+    counts = jnp.zeros((bn, cz, cy, cx), jnp.int32)
+    for t in range(6):
+        n_in = (ins[_TETS[t][0]] + ins[_TETS[t][1]]
+                + ins[_TETS[t][2]] + ins[_TETS[t][3]])
+        counts += ((n_in >= 1) & (n_in <= 3)).astype(jnp.int32) \
+            + (n_in == 2).astype(jnp.int32)
+    if cell_masks is not None:
+        counts *= cell_masks.astype(jnp.int32)
+    n_tris = counts.sum(axis=(1, 2, 3))                        # (B,)
+
+    # pass 2: compact the z-order-first max_tris active cells per instance;
+    # rows are padded to max_tris+1 so each instance's dropped slot is its
+    # own pad element and the scatter stays a single flat 1-D op
+    row = max_tris + 1
+    flat_active = (counts > 0).reshape(bn, m)
+    n_active = flat_active.sum(axis=1)
+    pos = jnp.cumsum(flat_active.astype(jnp.int32), axis=1) - 1
+    dest = jnp.where(flat_active & (pos < max_tris), pos, max_tris)
+    dest_g = (dest + jnp.arange(bn, dtype=jnp.int32)[:, None] * row)
+    src = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None], (bn, m))
+    cell_buf = jnp.zeros((bn * row,), jnp.int32).at[
+        dest_g.reshape(-1)].set(src.reshape(-1), mode="drop")
+    cell_buf = cell_buf.reshape(bn, row)[:, :max_tris]         # (B, T)
+    cell_ok = jnp.arange(max_tris)[None] < \
+        jnp.minimum(n_active, max_tris)[:, None]
+
+    # pass 3: expand the selected cells' 12 tet/slot candidates, compact to
+    # the final z-order-first max_tris per instance
+    x = cell_buf % cx
+    y = (cell_buf // cx) % cy
+    z = cell_buf // (cx * cy)
+    co = jnp.asarray(_CORNERS, jnp.int32)
+    inst = jnp.arange(bn, dtype=jnp.int32)[:, None, None]
+    fidx = ((inst * d + z[..., None] + co[:, 0]) * h
+            + y[..., None] + co[:, 1]) * w + x[..., None] + co[:, 2]
+    vals8 = phi_ng.reshape(-1)[fidx]                           # (B, T, 8)
+    ins8 = (vals8 < iso).astype(jnp.int32)
+    slots = []
+    for t in range(6):
+        n_in = (ins8[..., _TETS[t][0]] + ins8[..., _TETS[t][1]]
+                + ins8[..., _TETS[t][2]] + ins8[..., _TETS[t][3]])
+        slots.append((n_in >= 1) & (n_in <= 3))
+        slots.append(n_in == 2)
+    vs = jnp.stack(slots, axis=2) & cell_ok[..., None]         # (B, T, 12)
+    fv = vs.reshape(bn, -1)
+    pos2 = jnp.cumsum(fv.astype(jnp.int32), axis=1) - 1
+    dest2 = jnp.where(fv & (pos2 < max_tris), pos2, max_tris)
+    dest2_g = dest2 + jnp.arange(bn, dtype=jnp.int32)[:, None] * row
+    gid12 = cell_buf[..., None] * 12 + jnp.arange(12, dtype=jnp.int32)
+    idx_buf = jnp.zeros((bn * row,), jnp.int32).at[
+        dest2_g.reshape(-1)].set(gid12.reshape(bn, -1).reshape(-1),
+                                 mode="drop")
+    idx_buf = idx_buf.reshape(bn, row)[:, :max_tris]
+    tvalid = jnp.arange(max_tris)[None] < \
+        jnp.minimum(n_tris, max_tris)[:, None]
+
+    out = _gather_triangles_batched(phis, idx_buf, iso)
+    out = jnp.where(tvalid[..., None, None], out, 0.0)
+    return out, tvalid, n_tris
+
+
 def triangles_to_mesh(tris: jnp.ndarray):
     """(T, 3, 3) triangle soup -> (verts (3T, 3), faces (T, 3))."""
     verts = tris.reshape(-1, 3)

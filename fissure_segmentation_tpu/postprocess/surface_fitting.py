@@ -44,13 +44,11 @@ def keep_largest_component(sign_grid: np.ndarray, right: bool | None = None,
     if n == 0:
         return np.asarray(sign_grid, bool)
     idx = np.arange(1, n + 1)
-    sizes = np.bincount(labels.ravel(), minlength=n + 1)[1:].astype(np.float64)
+    sizes_i, xsum = native.cc_stats(labels, n)   # one native pass
+    sizes = sizes_i.astype(np.float64)
     scores = sizes.copy()
     if right is not None and center_x is not None:
         # x center of mass per component (zyx grid -> axis 2)
-        xs = np.broadcast_to(np.arange(labels.shape[2]), labels.shape)
-        xsum = np.bincount(labels.ravel(), weights=xs.ravel(),
-                           minlength=n + 1)[1:]
         xcom = xsum / np.maximum(sizes, 1)
         wrong = (xcom > center_x) if right else (xcom < center_x)
         scores[wrong] = -1.0 / np.maximum(sizes[wrong], 1)
@@ -130,6 +128,11 @@ def pointcloud_surface_fitting(points_world: np.ndarray, shape,
                              mask_dilate_radius, right, center_x, crop_to_bbox)
 
 
+# the 8 voxel-cube corners checked around each triangle center (zyx)
+_CORNER_OFFSETS = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1],
+                                       indexing="ij"), -1).reshape(8, 3)
+
+
 def _host_mesh_filter(inside: np.ndarray, tris: np.ndarray, tvalid: np.ndarray,
                       points_world: np.ndarray, shape, grid_res,
                       mask, mask_dilate_radius, right, center_x,
@@ -174,15 +177,11 @@ def _host_mesh_filter(inside: np.ndarray, tris: np.ndarray, tvalid: np.ndarray,
     # neighborhood is not in the kept inside-region — filtering triangles
     # (like the reference's mesh cropping/masking, general_utils.py:157-209)
     # instead of clamping phi, which would fabricate walls at crop faces.
-    centers = tris.mean(axis=1)  # (T, 3) PSR-voxel zyx
-    lo = np.floor(centers).astype(int)
-    keep = np.zeros(len(tris), bool)
-    for dz in (0, 1):
-        for dy in (0, 1):
-            for dx in (0, 1):
-                c = np.clip(lo + [dz, dy, dx], 0,
-                            np.asarray(grid_res) - 1)
-                keep |= inside[c[:, 0], c[:, 1], c[:, 2]]
+    centers = (tris[:, 0] + tris[:, 1] + tris[:, 2]) * np.float32(1 / 3)
+    lo = np.floor(centers).astype(np.int64)          # (T, 3) PSR-voxel zyx
+    c = np.clip(lo[None] + _CORNER_OFFSETS[:, None], 0,
+                np.asarray(grid_res) - 1)            # (8, T, 3)
+    keep = inside[c[..., 0], c[..., 1], c[..., 2]].any(axis=0)
     tvalid = tvalid & keep
 
     # PSR-voxel index (zyx) -> normalized grid coord (zyx) -> world xyz;
@@ -277,8 +276,13 @@ def _batched_psr_mc_packed(points_grid: jnp.ndarray, valids: jnp.ndarray,
                                             max_verts=max_verts,
                                             cell_mask=masks[i])
                  for i in range(valids.shape[0])]
-    idx, vkey, vfrac_q, n_tris, n_verts = (
-        jnp.stack([p[j] for p in per_class]) for j in range(5))
+    # idx/vkey/vfrac stay UNSTACKED (tuple of per-class arrays): each class's
+    # mesh payload is its own device buffer, so the serving host tail can
+    # overlap the transfer of class i+1 with the decode/filter of class i
+    # (serving._finish_case issues copy_to_host_async on all of them first)
+    idx, vkey, vfrac_q = (tuple(p[j] for p in per_class) for j in range(3))
+    n_tris, n_verts = (jnp.stack([p[j] for p in per_class])
+                       for j in (3, 4))
     inside_bits = jnp.packbits((phis < 0).reshape(phis.shape[0], -1), axis=-1)
     return inside_bits, idx, vkey, vfrac_q, n_tris, n_verts
 

@@ -185,7 +185,7 @@ def segment_case(vol, mask, apply_fn, variables, rng, *,
 
 
 def segment_cases(volumes, masks, apply_fn, variables, rng, *,
-                  window: int = 2, **kwargs):
+                  window: int = 2, timings: list | None = None, **kwargs):
     """Throughput-pipelined multi-case serving.
 
     `segment_case` is latency-shaped: dispatch -> fetch -> host filter per
@@ -193,20 +193,30 @@ def segment_cases(volumes, masks, apply_fn, variables, rng, *,
     labelmap rasterization) serializes with the device. JAX dispatch is
     asynchronous, so this driver keeps a `window` of cases in flight: case
     i+1's fused device graph is dispatched BEFORE case i's outputs are
-    fetched, hiding the fetch+host tail behind device compute. With the
-    measured stage split (device ~0.12-0.22 s, tail ~0.15 s/case) this
-    takes batch serving from ~1/(device+tail) to ~1/max(device, tail)
-    cases/s — the reference processes its test set strictly serially
-    (train.py:179-321).
+    fetched, hiding the fetch+host tail behind device compute — batch
+    serving approaches 1/max(device, fetch+host) instead of
+    1/(device+fetch+host) cases/s. The reference processes its test set
+    strictly serially (train.py:179-321). Throughput numbers live in the
+    newest ``BENCH_r*.json`` (README headline block is generated from it).
+
+    Per-case rng keys are ``fold_in(rng, i)``, derived in ONE jitted call:
+    an eager per-case `fold_in` costs a dispatch round trip on a
+    tunnel-attached chip and its first use pays a compile (the r4 driver's
+    single-cold-shot pipelined measurement ate exactly that).
 
     :param volumes: iterable of (D, H, W) arrays (device or host)
     :param masks: iterable of matching lung masks
     :param window: cases in flight (2 suffices: one computing, one fetching;
         each in-flight case holds only its ~1 MB packed outputs plus its
         input volume on device)
+    :param timings: optional list; appends one
+        ``{"dispatch_s": ..., "finish_s": ...}`` dict per case (dispatch-
+        call wall vs fetch+host wall) for throughput diagnosis
     :param kwargs: forwarded to segment_case (kp_mode, grid_res, ...)
     :return: list of CaseResult
     """
+    import time
+
     volumes, masks = list(volumes), list(masks)
     if len(volumes) != len(masks):
         raise ValueError(f"{len(volumes)} volumes vs {len(masks)} masks")
@@ -221,23 +231,40 @@ def segment_cases(volumes, masks, apply_fn, variables, rng, *,
     if bad:
         raise TypeError(f"unknown kwargs: {sorted(bad)}")
 
-    results: list = [None] * len(volumes)
-    pending: list = []  # (index, device outputs)
+    n = len(volumes)
+    keys = np.asarray(_fold_in_batch(rng, n)) if n else None
 
-    def finish(idx, out):
+    results: list = [None] * n
+    pending: list = []  # (index, device outputs, timing dict)
+
+    def finish(idx, out, tm):
+        t0 = time.perf_counter()
         results[idx] = _finish_case(out, volumes[idx], masks[idx], **kwargs)
+        if tm is not None:
+            tm["finish_s"] = time.perf_counter() - t0
+            timings.append(tm)
 
     for i, (vol, mask) in enumerate(zip(volumes, masks)):
         dev_kw = {k: v for k, v in kwargs.items() if k not in host_only}
+        tm = {} if timings is not None else None
+        t0 = time.perf_counter()
         out = _dispatch_case(jnp.asarray(vol), jnp.asarray(mask), variables,
-                             jax.random.fold_in(rng, i), apply_fn=apply_fn,
+                             jnp.asarray(keys[i]), apply_fn=apply_fn,
                              **dev_kw)
-        pending.append((i, out))
+        if tm is not None:
+            tm["dispatch_s"] = time.perf_counter() - t0
+        pending.append((i, out, tm))
         if len(pending) >= window:
             finish(*pending.pop(0))
-    for idx, out in pending:
-        finish(idx, out)
+    for idx, out, tm in pending:
+        finish(idx, out, tm)
     return results
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _fold_in_batch(rng, n: int):
+    """fold_in(rng, i) for i in range(n), one dispatch (see segment_cases)."""
+    return jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(n))
 
 
 def _dispatch_case(vol, mask, variables, rng, *, apply_fn,
@@ -264,7 +291,17 @@ def _dispatch_case(vol, mask, variables, rng, *, apply_fn,
 def _finish_case(dispatched, vol, mask, *, rights=None, center_x=None,
                  lung_mask_filter=None, mask_dilate_radius=1,
                  crop_to_bbox=True, make_labelmap=True, **_ignored):
-    """Fetch + host half for one dispatched case (mirrors segment_case)."""
+    """Fetch + host half for one dispatched case (mirrors segment_case).
+
+    The fetch is staged: copy_to_host_async is issued for EVERY output
+    buffer up front, then the small metadata arrays are fetched first and
+    each class's mesh payload (its own device buffer — surface_fitting
+    returns idx/vkey/vfrac unstacked) is fetched right before its decode,
+    so the transfer of class i+1 streams behind the native decode/filter
+    of class i. On the tunnel-attached bench chip this hides most of the
+    ~50 ms packed fetch inside the ~60 ms host filter work; a host without
+    async copies degrades gracefully to the plain blocking fetch order.
+    """
     out, kp_mode, max_kpts, grid_res, num_fg_classes = dispatched
     shape = (np.asarray(vol).shape[:-1]
              if kp_mode == "cnn" and _ignored.get("cnn_apply_fn") is None
@@ -273,8 +310,15 @@ def _finish_case(dispatched, vol, mask, *, rights=None, center_x=None,
         rights = ([False, True, True]
                   + [None] * num_fg_classes)[:num_fg_classes]
 
-    (kpts_q, valid_bits, pred, inside_bits, idx, vkey, vfrac_q, n_tris,
-     n_verts) = jax.device_get(out)
+    (kpts_q_d, valid_bits_d, pred_d, inside_bits_d, idx_d, vkey_d, vfrac_d,
+     n_tris_d, n_verts_d) = out
+    for leaf in jax.tree_util.tree_leaves(out):
+        try:
+            leaf.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            break
+    kpts_q, valid_bits, pred, inside_bits, n_tris, n_verts = jax.device_get(
+        (kpts_q_d, valid_bits_d, pred_d, inside_bits_d, n_tris_d, n_verts_d))
     valid = np.unpackbits(valid_bits, count=max_kpts).astype(bool)
     kpts = kpts_q.astype(np.int32)
     world = kpts[:, ::-1].astype(np.float32)
@@ -290,7 +334,9 @@ def _finish_case(dispatched, vol, mask, *, rights=None, center_x=None,
             meshes.append((np.zeros((0, 3, 3), np.float32),
                            np.zeros(0, bool)))
             continue
-        tris_i = _decode_packed_mesh(idx[i], vkey[i], vfrac_q[i], n,
+        idx_i, vkey_i, vfrac_i = jax.device_get(
+            (idx_d[i], vkey_d[i], vfrac_d[i]))
+        tris_i = _decode_packed_mesh(idx_i, vkey_i, vfrac_i, n,
                                      int(n_verts[i]), tuple(grid_res))
         meshes.append(_host_mesh_filter(
             inside[i], tris_i, np.ones(n, bool), pts_c, shape,

@@ -121,3 +121,55 @@ def test_marching_tetrahedra_gradient_flows():
     g = jax.grad(loss)(phi)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_marching_tetrahedra_batched_matches_per_instance():
+    """marching_tetrahedra_batched must reproduce the per-instance
+    extraction bit-for-bit — same z-order candidate truncation, same
+    triangle order, same vertex arithmetic (it replaces the DPSRNet2
+    lax.map, which serialized B extractions; prof_dpsrnet2.py r5)."""
+    from fissure_segmentation_tpu.ops.marching import (
+        marching_tetrahedra, marching_tetrahedra_batched)
+    rng = np.random.default_rng(3)
+    zz, yy, xx = np.meshgrid(np.arange(20.0), np.arange(18.0),
+                             np.arange(16.0), indexing="ij")
+    phis = np.stack([
+        (zz - (9.0 + 3 * np.sin(xx / 3.0 + c) + 2 * np.cos(yy / 2.5)))
+        for c in range(4)]).astype(np.float32)
+    phis += rng.normal(0, 0.05, phis.shape).astype(np.float32)
+    # instance 3: empty field (no crossing) exercises the n_tris=0 path
+    phis[3] = 1.0 + np.abs(phis[3])
+    max_tris = 700  # below the true count for a truncation-parity check
+    bt, bv, bn = marching_tetrahedra_batched(jnp.asarray(phis),
+                                             max_tris=max_tris)
+    for i in range(4):
+        t, v, n = marching_tetrahedra(jnp.asarray(phis[i]),
+                                      max_tris=max_tris)
+        np.testing.assert_array_equal(np.asarray(bn[i]), np.asarray(n))
+        np.testing.assert_array_equal(np.asarray(bv[i]), np.asarray(v))
+        np.testing.assert_array_equal(np.asarray(bt[i]), np.asarray(t))
+    assert int(bn[0]) > max_tris and int(bn[3]) == 0
+
+
+def test_marching_tetrahedra_batched_gradients_match():
+    """Batched reverse-mode (one flat scatter-add) == per-instance grads."""
+    from fissure_segmentation_tpu.ops.marching import (
+        marching_tetrahedra, marching_tetrahedra_batched)
+    zz, yy, xx = np.meshgrid(np.arange(8.0), np.arange(8.0),
+                             np.arange(8.0), indexing="ij")
+    phis = np.stack([(zz - 3.5 - 0.3 * np.sin(xx + c)) / 8.0
+                     for c in range(3)]).astype(np.float32)
+
+    def loss_b(p):
+        t, v, _ = marching_tetrahedra_batched(p, max_tris=300)
+        return jnp.sum(jnp.where(v[..., None, None], t, 0.0) ** 2)
+
+    def loss_1(p):
+        t, v, _ = marching_tetrahedra(p, max_tris=300)
+        return jnp.sum(jnp.where(v[:, None, None], t, 0.0) ** 2)
+
+    gb = jax.grad(loss_b)(jnp.asarray(phis))
+    for i in range(3):
+        g1 = jax.grad(loss_1)(jnp.asarray(phis[i]))
+        np.testing.assert_allclose(np.asarray(gb[i]), np.asarray(g1),
+                                   rtol=1e-5, atol=1e-6)
