@@ -34,8 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.dpsr import spectral_psr
-from ..ops.marching import (marching_tetrahedra_batched,
-                            sample_points_on_triangles)
+from ..ops.marching import marching_tetrahedra, sample_points_on_triangles
 from ..ops.splat import splat_grid_sample
 from ..utils.filters import gaussian_differentiation
 from .access_models import get_point_seg_model_class
@@ -81,17 +80,22 @@ def soft_mesh_surface_samples(seg_logits: jnp.ndarray, coords: jnp.ndarray,
     psr = spectral_psr(v_rep, normals, tuple(res), dpsr_sigma,
                        scale=dpsr_scale, shift=dpsr_shift)  # (B*C', *res)
 
-    # batched extraction: one fused candidate/compaction program for all
-    # B*C' fields — a per-instance lax.map serialized 24 x 128^3 extractions
-    # and cost ~594 of the 787 ms DPSRNet2 step (prof_dpsrnet2.py, r5)
+    # per-instance extraction via lax.map: measured FASTER than the batched
+    # marching_tetrahedra_batched at these shapes (399 vs 717 ms for the
+    # 24 x 128^3 fwd+bwd block, scripts/prof/prof_mtb_parts.py r5 — the
+    # batched op is kept as a measured negative, PERF.md); the r5 wins here
+    # are the searchsorted compaction inside marching_tetrahedra and the
+    # inverse-CDF surface sampler
     keys = jax.random.split(rng, b * c)
-    tris, tvalid, _ = marching_tetrahedra_batched(psr, max_tris=max_tris)
-    pts = jax.vmap(
-        lambda k, t, v: sample_points_on_triangles(k, t, v,
-                                                   n_surface_samples))(
-        keys, tris, tvalid)
-    valid = jnp.broadcast_to(tvalid.any(axis=1)[:, None],
-                             (b * c, n_surface_samples))
+
+    def extract(args):
+        phi, key = args
+        tris, tvalid, _ = marching_tetrahedra(phi, max_tris=max_tris)
+        pts = sample_points_on_triangles(key, tris, tvalid,
+                                         n_surface_samples)
+        return pts, jnp.broadcast_to(tvalid.any(), (n_surface_samples,))
+
+    pts, valid = jax.lax.map(extract, (psr, keys))
     # voxel zyx -> grid xyz coords
     sz = jnp.asarray(res, jnp.float32) - 1
     pts = (pts / sz) * 2.0 - 1.0
@@ -156,15 +160,18 @@ def per_class_surface_samples(seg_logits: jnp.ndarray, coords: jnp.ndarray,
                     jnp.nan_to_num(psr, nan=1.0, posinf=1.0, neginf=1.0),
                     1.0)
 
-    # batched extraction — see soft_mesh_surface_samples
+    # per-instance extraction — see soft_mesh_surface_samples
     keys = jax.random.split(rng, b * c)
-    tris, tvalid, _ = marching_tetrahedra_batched(psr, max_tris=max_tris)
-    pts = jax.vmap(
-        lambda k, t, v: sample_points_on_triangles(k, t, v,
-                                                   n_surface_samples))(
-        keys, tris, tvalid)
-    valid = jnp.broadcast_to((tvalid.any(axis=1) & class_ok)[:, None],
-                             (b * c, n_surface_samples))
+
+    def extract(args):
+        phi, key, ok = args
+        tris, tvalid, _ = marching_tetrahedra(phi, max_tris=max_tris)
+        pts = sample_points_on_triangles(key, tris, tvalid,
+                                         n_surface_samples)
+        return pts, jnp.broadcast_to(tvalid.any() & ok,
+                                     (n_surface_samples,))
+
+    pts, valid = jax.lax.map(extract, (psr, keys, class_ok))
     sz = jnp.asarray(res, jnp.float32) - 1
     pts = (pts / sz) * 2.0 - 1.0
     pts = pts[..., ::-1]                                     # zyx -> xyz

@@ -299,14 +299,21 @@ def _marching_candidates(phi, max_tris, iso, cell_mask):
     n_tris = counts.sum()
 
     # pass 2: compact the z-order-first max_tris ACTIVE CELLS (<= 12x fewer
-    # elements than candidate-granular compaction)
+    # elements than candidate-granular compaction). Compaction is a
+    # searchsorted GATHER over the inclusive cumsum — slot j holds the first
+    # cell whose running active-count reaches j+1 — instead of a
+    # full-grid scatter: an M-source scatter costs ~10 ms/M-elements on
+    # this chip while the binary search reads log2(M) values per OUTPUT
+    # slot (r5, scripts/prof/prof_mtb_parts.py: the two compaction
+    # scatters were ~500 of the 560 ms 24x128^3 lax.map block).
     flat_active = (counts > 0).reshape(-1)
-    n_active = flat_active.sum()
-    pos = jnp.cumsum(flat_active.astype(jnp.int32)) - 1
-    dest = jnp.where(flat_active & (pos < max_tris), pos, max_tris)
-    cell_buf = jnp.zeros((max_tris,), jnp.int32).at[dest].set(
-        jnp.arange(flat_active.shape[0], dtype=jnp.int32), mode="drop")
+    pos = jnp.cumsum(flat_active.astype(jnp.int32))      # inclusive counts
+    n_active = pos[-1]
+    slots = jnp.arange(1, max_tris + 1, dtype=jnp.int32)
     cell_ok = jnp.arange(max_tris) < jnp.minimum(n_active, max_tris)
+    cell_buf = jnp.where(
+        cell_ok,
+        jnp.searchsorted(pos, slots, side="left").astype(jnp.int32), 0)
 
     # pass 3: expand the selected cells' 12 tet/slot candidates and compact
     # them to the final z-order-first max_tris
@@ -325,11 +332,13 @@ def _marching_candidates(phi, max_tris, iso, cell_mask):
         slots.append(n_in == 2)
     vs = jnp.stack(slots, axis=1) & cell_ok[:, None]        # (max_tris, 12)
     fv = vs.reshape(-1)
-    pos2 = jnp.cumsum(fv.astype(jnp.int32)) - 1
-    dest2 = jnp.where(fv & (pos2 < max_tris), pos2, max_tris)
+    pos2 = jnp.cumsum(fv.astype(jnp.int32))                 # inclusive
     gid12 = cell_buf[:, None] * 12 + jnp.arange(12, dtype=jnp.int32)
-    idx_buf = jnp.zeros((max_tris,), jnp.int32).at[dest2].set(
-        gid12.reshape(-1), mode="drop")
+    s2 = jnp.arange(1, max_tris + 1, dtype=jnp.int32)
+    src2 = jnp.clip(jnp.searchsorted(pos2, s2, side="left"),
+                    0, fv.shape[0] - 1)
+    cand_ok = jnp.arange(max_tris) < jnp.minimum(pos2[-1], max_tris)
+    idx_buf = jnp.where(cand_ok, gid12.reshape(-1)[src2], 0)
     tvalid = jnp.arange(max_tris) < jnp.minimum(n_tris, max_tris)
     return tvalid, n_tris, idx_buf, phi
 
@@ -422,21 +431,22 @@ def marching_tetrahedra_batched(phis: jnp.ndarray, max_tris: int = 24000,
         counts *= cell_masks.astype(jnp.int32)
     n_tris = counts.sum(axis=(1, 2, 3))                        # (B,)
 
-    # pass 2: compact the z-order-first max_tris active cells per instance;
-    # rows are padded to max_tris+1 so each instance's dropped slot is its
-    # own pad element and the scatter stays a single flat 1-D op
-    row = max_tris + 1
+    # pass 2: compact the z-order-first max_tris active cells per instance.
+    # Like the single-instance path, compaction is a searchsorted GATHER
+    # over the per-row inclusive cumsum (vmapped binary search) — the first
+    # batched formulation used flat instance-offset scatters and the two
+    # 48M-source scatters alone cost ~580 ms at the DPSRNet2 shapes
+    # (scripts/prof/prof_mtb_parts.py, r5).
     flat_active = (counts > 0).reshape(bn, m)
-    n_active = flat_active.sum(axis=1)
-    pos = jnp.cumsum(flat_active.astype(jnp.int32), axis=1) - 1
-    dest = jnp.where(flat_active & (pos < max_tris), pos, max_tris)
-    dest_g = (dest + jnp.arange(bn, dtype=jnp.int32)[:, None] * row)
-    src = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None], (bn, m))
-    cell_buf = jnp.zeros((bn * row,), jnp.int32).at[
-        dest_g.reshape(-1)].set(src.reshape(-1), mode="drop")
-    cell_buf = cell_buf.reshape(bn, row)[:, :max_tris]         # (B, T)
+    pos = jnp.cumsum(flat_active.astype(jnp.int32), axis=1)    # inclusive
+    n_active = pos[:, -1]
+    slots1 = jnp.arange(1, max_tris + 1, dtype=jnp.int32)
     cell_ok = jnp.arange(max_tris)[None] < \
         jnp.minimum(n_active, max_tris)[:, None]
+    cell_buf = jnp.where(
+        cell_ok,
+        jax.vmap(lambda p_: jnp.searchsorted(p_, slots1, side="left"))(pos)
+        .astype(jnp.int32), 0)                                 # (B, T)
 
     # pass 3: expand the selected cells' 12 tet/slot candidates, compact to
     # the final z-order-first max_tris per instance
@@ -457,14 +467,16 @@ def marching_tetrahedra_batched(phis: jnp.ndarray, max_tris: int = 24000,
         slots.append(n_in == 2)
     vs = jnp.stack(slots, axis=2) & cell_ok[..., None]         # (B, T, 12)
     fv = vs.reshape(bn, -1)
-    pos2 = jnp.cumsum(fv.astype(jnp.int32), axis=1) - 1
-    dest2 = jnp.where(fv & (pos2 < max_tris), pos2, max_tris)
-    dest2_g = dest2 + jnp.arange(bn, dtype=jnp.int32)[:, None] * row
-    gid12 = cell_buf[..., None] * 12 + jnp.arange(12, dtype=jnp.int32)
-    idx_buf = jnp.zeros((bn * row,), jnp.int32).at[
-        dest2_g.reshape(-1)].set(gid12.reshape(bn, -1).reshape(-1),
-                                 mode="drop")
-    idx_buf = idx_buf.reshape(bn, row)[:, :max_tris]
+    pos2 = jnp.cumsum(fv.astype(jnp.int32), axis=1)            # inclusive
+    gid12 = (cell_buf[..., None] * 12
+             + jnp.arange(12, dtype=jnp.int32)).reshape(bn, -1)
+    src2 = jnp.clip(
+        jax.vmap(lambda p_: jnp.searchsorted(p_, slots1, side="left"))(pos2),
+        0, fv.shape[1] - 1)
+    cand_ok = jnp.arange(max_tris)[None] < \
+        jnp.minimum(pos2[:, -1], max_tris)[:, None]
+    idx_buf = jnp.where(cand_ok,
+                        jnp.take_along_axis(gid12, src2, axis=1), 0)
     tvalid = jnp.arange(max_tris)[None] < \
         jnp.minimum(n_tris, max_tris)[:, None]
 
@@ -484,15 +496,24 @@ def sample_points_on_triangles(rng: jax.Array, tris: jnp.ndarray,
                                valid: jnp.ndarray, n_samples: int):
     """Area-weighted uniform surface samples from a (possibly padded)
     triangle soup — the device-side equivalent of pytorch3d's
-    sample_points_from_meshes used by the mesh/DPSR losses."""
+    sample_points_from_meshes used by the mesh/DPSR losses.
+
+    Triangle selection is inverse-CDF (area cumsum + searchsorted),
+    O(S log T): the former `jax.random.categorical` materialized an
+    (n_samples, T) gumbel tensor — 196 MB per call at the DPSR training
+    budgets (S=2048, T=24000), the single largest term of the DPSRNet2
+    step's marching/sampling block (prof_dpsrnet2.py, r5). Same
+    area-weighted distribution, different draw stream."""
     a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
     area = 0.5 * jnp.linalg.norm(jnp.cross(b - a, c - a), axis=-1)
     area = jnp.where(valid, area, 0.0)
     r_idx, r_uv = jax.random.split(rng)
-    probs = area / jnp.maximum(area.sum(), 1e-12)
-    idx = jax.random.categorical(r_idx, jnp.log(probs + 1e-30), shape=(n_samples,))
+    cdf = jnp.cumsum(jax.lax.stop_gradient(area))
+    u = jax.random.uniform(r_idx, (n_samples,)) * cdf[-1]
+    idx = jnp.clip(jnp.searchsorted(cdf, u, side="right"),
+                   0, area.shape[0] - 1)
     uv = jax.random.uniform(r_uv, (n_samples, 2))
-    u = jnp.sqrt(uv[:, :1])
-    v = uv[:, 1:]
-    w0, w1, w2 = 1 - u, u * (1 - v), u * v
+    u_ = jnp.sqrt(uv[:, :1])
+    v_ = uv[:, 1:]
+    w0, w1, w2 = 1 - u_, u_ * (1 - v_), u_ * v_
     return w0 * a[idx] + w1 * b[idx] + w2 * c[idx]
