@@ -266,14 +266,11 @@ def _marching_candidates(phi, max_tris, iso, cell_mask):
     """Count-then-emit candidate selection of marching_tetrahedra; returns
     (tvalid, n_tris, idx_buf, phi). See the marching_tetrahedra docstring.
 
-    Exact-parity argument for the cell-level budget: an active cell (one
-    whose corners straddle iso within the mask) always emits at least one
-    triangle — all 6 tets share the cube diagonal 0-7, and every corner
-    belongs to some tet, so a straddling cell has a straddling tet. Hence
-    the z-order-first `max_tris` active cells already account for >=
-    max_tris triangles, and truncating the cell compaction at max_tris
-    cannot change the first max_tris candidates.
-    """
+    Output slot j holds exactly the (j+1)-th triangle candidate in
+    (cell z-order, tet, slot) order — located directly from the per-cell
+    count cumsum, with no intermediate cell compaction (r5; the former
+    two-level cell-then-candidate selection produced the identical
+    sequence, pinned by the truncation-parity tests)."""
     d, h, w = phi.shape
     if min(d, h, w) < 2:
         raise ValueError(f"marching_tetrahedra needs >= 2 samples per axis, "
@@ -298,48 +295,43 @@ def _marching_candidates(phi, max_tris, iso, cell_mask):
         counts *= cell_mask.astype(jnp.int32)
     n_tris = counts.sum()
 
-    # pass 2: compact the z-order-first max_tris ACTIVE CELLS (<= 12x fewer
-    # elements than candidate-granular compaction). Compaction is a
-    # searchsorted GATHER over the inclusive cumsum — slot j holds the first
-    # cell whose running active-count reaches j+1 — instead of a
-    # full-grid scatter: an M-source scatter costs ~10 ms/M-elements on
-    # this chip while the binary search reads log2(M) values per OUTPUT
-    # slot (r5, scripts/prof/prof_mtb_parts.py: the two compaction
-    # scatters were ~500 of the 560 ms 24x128^3 lax.map block).
-    flat_active = (counts > 0).reshape(-1)
-    pos = jnp.cumsum(flat_active.astype(jnp.int32))      # inclusive counts
-    n_active = pos[-1]
+    # pass 2: locate each of the z-order-first max_tris TRIANGLES directly.
+    # The inclusive cumsum of per-cell triangle counts is monotone, so
+    # output slot j's cell is ONE searchsorted (first cell whose running
+    # count reaches j+1) and its within-cell candidate is the
+    # (j - prefix)-th set bit of the cell's 12 tet/slot flags — a 12-lane
+    # prefix-sum + argmax. Former formulations paid for this with either a
+    # full-grid compaction scatter (an M-source scatter costs ~10 ms per
+    # million elements on this chip) or TWO cumsum+searchsorted levels
+    # (cells, then candidates); r5 measurements in
+    # scripts/prof/prof_mtb_parts.py and PERF.md.
+    ccum = jnp.cumsum(counts.reshape(-1))                # inclusive tris
     slots = jnp.arange(1, max_tris + 1, dtype=jnp.int32)
-    cell_ok = jnp.arange(max_tris) < jnp.minimum(n_active, max_tris)
-    cell_buf = jnp.where(
-        cell_ok,
-        jnp.searchsorted(pos, slots, side="left").astype(jnp.int32), 0)
+    cell_idx = jnp.clip(
+        jnp.searchsorted(ccum, slots, side="left").astype(jnp.int32),
+        0, ccum.shape[0] - 1)
+    prev = jnp.where(cell_idx > 0, ccum[jnp.maximum(cell_idx - 1, 0)], 0)
+    r = slots - 1 - prev                                 # rank in cell
 
-    # pass 3: expand the selected cells' 12 tet/slot candidates and compact
-    # them to the final z-order-first max_tris
-    x = cell_buf % cx
-    y = (cell_buf // cx) % cy
-    z = cell_buf // (cx * cy)
+    x = cell_idx % cx
+    y = (cell_idx // cx) % cy
+    z = cell_idx // (cx * cy)
     co = jnp.asarray(_CORNERS, jnp.int32)
     vals8 = phi_ng[z[:, None] + co[:, 0], y[:, None] + co[:, 1],
                    x[:, None] + co[:, 2]]                   # (max_tris, 8)
     ins8 = (vals8 < iso).astype(jnp.int32)
-    slots = []
+    bits = []
     for t in range(6):
         n_in = (ins8[:, _TETS[t][0]] + ins8[:, _TETS[t][1]]
                 + ins8[:, _TETS[t][2]] + ins8[:, _TETS[t][3]])
-        slots.append((n_in >= 1) & (n_in <= 3))
-        slots.append(n_in == 2)
-    vs = jnp.stack(slots, axis=1) & cell_ok[:, None]        # (max_tris, 12)
-    fv = vs.reshape(-1)
-    pos2 = jnp.cumsum(fv.astype(jnp.int32))                 # inclusive
-    gid12 = cell_buf[:, None] * 12 + jnp.arange(12, dtype=jnp.int32)
-    s2 = jnp.arange(1, max_tris + 1, dtype=jnp.int32)
-    src2 = jnp.clip(jnp.searchsorted(pos2, s2, side="left"),
-                    0, fv.shape[0] - 1)
-    cand_ok = jnp.arange(max_tris) < jnp.minimum(pos2[-1], max_tris)
-    idx_buf = jnp.where(cand_ok, gid12.reshape(-1)[src2], 0)
+        bits.append((n_in >= 1) & (n_in <= 3))
+        bits.append(n_in == 2)
+    bits = jnp.stack(bits, axis=1)                       # (max_tris, 12)
+    brank = jnp.cumsum(bits.astype(jnp.int32), axis=1)
+    s = jnp.argmax((brank == (r + 1)[:, None]) & bits, axis=1)
     tvalid = jnp.arange(max_tris) < jnp.minimum(n_tris, max_tris)
+    idx_buf = jnp.where(tvalid,
+                        cell_idx * 12 + s.astype(jnp.int32), 0)
     return tvalid, n_tris, idx_buf, phi
 
 
@@ -372,10 +364,14 @@ def _gather_triangles_batched(phis: jnp.ndarray, gids: jnp.ndarray,
     e = jnp.maximum(edges, 0)
     ab = jnp.asarray(_TET_EDGES, jnp.int32)[e]                 # (B, T, 3, 2)
 
-    bi = jnp.arange(bn)[:, None, None, None]
-    ti = jnp.arange(t_)[None, :, None, None]
-    vgath = vals[bi, ti, ab]                                   # (B, T, 3, 2)
-    ogath = offs[bi, ti, ab].astype(dt)                        # (B, T, 3, 2, 3)
+    # flat-index the per-candidate corner rows too: vals[bi, ti, ab] is a
+    # batched gather (slow lowering — same class as batched scatter); a
+    # 1-D gather from the flattened (B*T*4, ...) buffers is not
+    bi = jnp.arange(bn, dtype=jnp.int32)[:, None, None, None]
+    ti = jnp.arange(t_, dtype=jnp.int32)[None, :, None, None]
+    flat_bt = (bi * t_ + ti) * 4 + ab                          # (B, T, 3, 2)
+    vgath = vals.reshape(-1)[flat_bt]                          # (B, T, 3, 2)
+    ogath = offs.reshape(-1, 3)[flat_bt].astype(dt)            # (B, T, 3, 2, 3)
     va, vb = vgath[..., 0], vgath[..., 1]
     diff = vb - va
     frac = (iso - va) / jnp.where(jnp.abs(diff) < 1e-12, 1e-12, diff)
@@ -431,54 +427,50 @@ def marching_tetrahedra_batched(phis: jnp.ndarray, max_tris: int = 24000,
         counts *= cell_masks.astype(jnp.int32)
     n_tris = counts.sum(axis=(1, 2, 3))                        # (B,)
 
-    # pass 2: compact the z-order-first max_tris active cells per instance.
-    # Like the single-instance path, compaction is a searchsorted GATHER
-    # over the per-row inclusive cumsum (vmapped binary search) — the first
-    # batched formulation used flat instance-offset scatters and the two
-    # 48M-source scatters alone cost ~580 ms at the DPSRNet2 shapes
-    # (scripts/prof/prof_mtb_parts.py, r5).
-    flat_active = (counts > 0).reshape(bn, m)
-    pos = jnp.cumsum(flat_active.astype(jnp.int32), axis=1)    # inclusive
-    n_active = pos[:, -1]
+    # pass 2: locate the z-order-first max_tris TRIANGLES per instance
+    # directly (single searchsorted over the per-cell count cumsum + a
+    # 12-lane bit-rank, mirroring _marching_candidates) — and FLAT: rows
+    # offset by i*stride form one globally sorted array so a single 1-D
+    # binary search serves every instance. Batched-operand
+    # scatters/gathers (flat-offset scatters, vmapped searchsorted) all
+    # measured ~600+ ms at the DPSR shapes (prof_mtb_parts.py, r5).
+    ccum = jnp.cumsum(counts.reshape(bn, m), axis=1)       # inclusive tris
     slots1 = jnp.arange(1, max_tris + 1, dtype=jnp.int32)
-    cell_ok = jnp.arange(max_tris)[None] < \
-        jnp.minimum(n_active, max_tris)[:, None]
-    cell_buf = jnp.where(
-        cell_ok,
-        jax.vmap(lambda p_: jnp.searchsorted(p_, slots1, side="left"))(pos)
-        .astype(jnp.int32), 0)                                 # (B, T)
+    stride1 = 12 * m + 1                  # > max(ccum): rows stay sorted
+    base1 = jnp.arange(bn, dtype=jnp.int32)[:, None] * stride1
+    p_flat = (ccum + base1).reshape(-1)
+    q_flat = (slots1[None] + base1).reshape(-1)
+    found = jnp.searchsorted(p_flat, q_flat, side="left").astype(jnp.int32)
+    col = found.reshape(bn, max_tris) - \
+        jnp.arange(bn, dtype=jnp.int32)[:, None] * m
+    cell_idx = jnp.clip(col, 0, m - 1)                     # (B, T)
+    ccum_flat = ccum.reshape(-1)
+    prev_i = jnp.arange(bn, dtype=jnp.int32)[:, None] * m + \
+        jnp.maximum(cell_idx - 1, 0)
+    prev = jnp.where(cell_idx > 0, ccum_flat[prev_i], 0)
+    r = slots1[None] - 1 - prev                            # rank in cell
 
-    # pass 3: expand the selected cells' 12 tet/slot candidates, compact to
-    # the final z-order-first max_tris per instance
-    x = cell_buf % cx
-    y = (cell_buf // cx) % cy
-    z = cell_buf // (cx * cy)
+    x = cell_idx % cx
+    y = (cell_idx // cx) % cy
+    z = cell_idx // (cx * cy)
     co = jnp.asarray(_CORNERS, jnp.int32)
     inst = jnp.arange(bn, dtype=jnp.int32)[:, None, None]
     fidx = ((inst * d + z[..., None] + co[:, 0]) * h
             + y[..., None] + co[:, 1]) * w + x[..., None] + co[:, 2]
     vals8 = phi_ng.reshape(-1)[fidx]                           # (B, T, 8)
     ins8 = (vals8 < iso).astype(jnp.int32)
-    slots = []
+    bits = []
     for t in range(6):
         n_in = (ins8[..., _TETS[t][0]] + ins8[..., _TETS[t][1]]
                 + ins8[..., _TETS[t][2]] + ins8[..., _TETS[t][3]])
-        slots.append((n_in >= 1) & (n_in <= 3))
-        slots.append(n_in == 2)
-    vs = jnp.stack(slots, axis=2) & cell_ok[..., None]         # (B, T, 12)
-    fv = vs.reshape(bn, -1)
-    pos2 = jnp.cumsum(fv.astype(jnp.int32), axis=1)            # inclusive
-    gid12 = (cell_buf[..., None] * 12
-             + jnp.arange(12, dtype=jnp.int32)).reshape(bn, -1)
-    src2 = jnp.clip(
-        jax.vmap(lambda p_: jnp.searchsorted(p_, slots1, side="left"))(pos2),
-        0, fv.shape[1] - 1)
-    cand_ok = jnp.arange(max_tris)[None] < \
-        jnp.minimum(pos2[:, -1], max_tris)[:, None]
-    idx_buf = jnp.where(cand_ok,
-                        jnp.take_along_axis(gid12, src2, axis=1), 0)
+        bits.append((n_in >= 1) & (n_in <= 3))
+        bits.append(n_in == 2)
+    bits = jnp.stack(bits, axis=2)                         # (B, T, 12)
+    brank = jnp.cumsum(bits.astype(jnp.int32), axis=2)
+    s = jnp.argmax((brank == (r + 1)[..., None]) & bits, axis=2)
     tvalid = jnp.arange(max_tris)[None] < \
         jnp.minimum(n_tris, max_tris)[:, None]
+    idx_buf = jnp.where(tvalid, cell_idx * 12 + s.astype(jnp.int32), 0)
 
     out = _gather_triangles_batched(phis, idx_buf, iso)
     out = jnp.where(tvalid[..., None, None], out, 0.0)
