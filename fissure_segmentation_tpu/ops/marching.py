@@ -387,17 +387,20 @@ def marching_tetrahedra_batched(phis: jnp.ndarray, max_tris: int = 24000,
                                 cell_masks: jnp.ndarray | None = None):
     """Batched marching_tetrahedra over (B, D, H, W) fields in one program.
 
-    Per-instance extraction under `lax.map` serializes B candidate passes
-    (and under vmap the compaction scatters lower to slow batched scatter):
-    the DPSRNet2 train step spends ~594 of its 787 ms in a 24-instance
-    lax.map at 128^3 (scripts/prof/prof_dpsrnet2.py, BENCH_r04 shapes).
-    This path runs the counting pass, the per-row cumsums, the two
-    compactions and the final differentiable reconstruction BATCHED, with
-    every scatter/gather on instance-offset FLAT indices — one 1-D scatter
-    per compaction and one flat scatter-add in the backward, regardless
-    of B. Per instance it is the same count-then-emit algorithm as
-    `marching_tetrahedra` with identical candidate order (z-order
-    truncation parity; tests/test_marching.py pins batched == per-instance).
+    Per instance it is the same algorithm as `marching_tetrahedra` with
+    identical candidate order (z-order truncation parity; tests/test_dpsr
+    pins batched == per-instance, values and gradients), with every
+    search/gather on instance-offset FLAT indices so nothing lowers to a
+    batched-operand scatter/gather.
+
+    **Measured NEGATIVE on TPU at the DPSRNet2 shapes (r5, PERF.md,
+    scripts/prof/prof_mtb_parts.py): 24 x 128^3 fwd+bwd runs ~730 ms here
+    vs ~333 ms for a per-instance `lax.map` over `marching_tetrahedra`.**
+    Each 128^3 field (8 MB) is VMEM-resident for the per-candidate corner
+    gathers inside the map body; the batched op's 192 MB operand is not,
+    so its scalar gathers run at HBM-random-access speed. Kept for small
+    fields/batches where the whole batch fits VMEM and as the measured
+    record; models/dpsr_net.py deliberately uses the lax.map.
 
     :param phis: (B, D, H, W) scalar fields
     :param cell_masks: optional (B, D-1, H-1, W-1) bool
