@@ -459,14 +459,14 @@ def main():
     from fissure_segmentation_tpu.serving import segment_cases
     NPIPE = 8
     segment_cases([dimg] * 2, [dmask] * 2, biased_apply, variables,
-                  jax.random.PRNGKey(2), window=2, center_x=SHAPE[2] / 2)
+                  jax.random.PRNGKey(2), center_x=SHAPE[2] / 2)
     batch_means, case_tms = [], []
     for rep in range(2):
         tm: list = []
         t0 = time.perf_counter()
         pipe_res = segment_cases([dimg] * NPIPE, [dmask] * NPIPE,
                                  biased_apply, variables,
-                                 jax.random.PRNGKey(3 + rep), window=2,
+                                 jax.random.PRNGKey(3 + rep),
                                  center_x=SHAPE[2] / 2, timings=tm)
         batch_means.append((time.perf_counter() - t0) / NPIPE)
         case_tms += tm
@@ -476,10 +476,13 @@ def main():
     train_metrics["serving_pipelined_cases_per_sec"] = round(1 / pipe_s, 2)
     train_metrics["serving_pipelined_batch_means"] = [
         round(b, 4) for b in batch_means]
-    train_metrics["pipelined_dispatch_ms_median"] = round(
-        1e3 * median(t["dispatch_s"] for t in case_tms), 1)
-    train_metrics["pipelined_finish_ms_median"] = round(
-        1e3 * median(t["finish_s"] for t in case_tms), 1)
+    # per-case stage medians: threaded mode reports fetch_s/host_s, the
+    # single-threaded fallback finish_s
+    for key in ("dispatch_s", "fetch_s", "host_s", "finish_s"):
+        vals = [t[key] for t in case_tms if key in t]
+        if vals:
+            train_metrics[f"pipelined_{key[:-2]}_ms_median"] = round(
+                1e3 * median(vals), 1)
     train_metrics["serving_exact_min_s"] = round(min(t_exact), 4)
     train_metrics["fused_fast_min_s"] = round(min(t_fast), 4)
     train_metrics["hessian_min_s"] = round(min(hessian_times), 4)

@@ -185,18 +185,29 @@ def segment_case(vol, mask, apply_fn, variables, rng, *,
 
 
 def segment_cases(volumes, masks, apply_fn, variables, rng, *,
-                  window: int = 2, timings: list | None = None, **kwargs):
+                  window: int = 3, timings: list | None = None,
+                  pipeline_threads: bool = True, **kwargs):
     """Throughput-pipelined multi-case serving.
 
     `segment_case` is latency-shaped: dispatch -> fetch -> host filter per
     case, so the host tail (packed fetch + native component filter +
-    labelmap rasterization) serializes with the device. JAX dispatch is
-    asynchronous, so this driver keeps a `window` of cases in flight: case
-    i+1's fused device graph is dispatched BEFORE case i's outputs are
-    fetched, hiding the fetch+host tail behind device compute — batch
-    serving approaches 1/max(device, fetch+host) instead of
-    1/(device+fetch+host) cases/s. The reference processes its test set
-    strictly serially (train.py:179-321). Throughput numbers live in the
+    labelmap rasterization) serializes with the device. This driver runs a
+    THREE-stage pipeline instead:
+
+      main thread   async-dispatches case i+2's fused device graph
+      fetch thread  blocks in case i+1's bulk `device_get` (pure I/O wait —
+                    the GIL is released, and the transfers were pre-staged
+                    with copy_to_host_async at dispatch time)
+      host thread   decodes/filters/rasterizes case i (numpy + native C++,
+                    which releases the GIL during the heavy calls)
+
+    so steady-state throughput approaches 1/max(device, fetch, host) —
+    device-bound on the bench chip (~132 ms compute vs ~60 ms fetch +
+    ~90 ms host) — instead of the 1/(device+fetch+host) of a serial loop.
+    The reference processes its test set strictly serially
+    (train.py:179-321). Results are IDENTICAL to per-case segment_case
+    calls (same executables, same inputs; threading only reorders waits —
+    tests/test_serving.py pins equality). Throughput numbers live in the
     newest ``BENCH_r*.json`` (README headline block is generated from it).
 
     Per-case rng keys are ``fold_in(rng, i)``, derived in ONE jitted call:
@@ -206,12 +217,15 @@ def segment_cases(volumes, masks, apply_fn, variables, rng, *,
 
     :param volumes: iterable of (D, H, W) arrays (device or host)
     :param masks: iterable of matching lung masks
-    :param window: cases in flight (2 suffices: one computing, one fetching;
-        each in-flight case holds only its ~1 MB packed outputs plus its
-        input volume on device)
-    :param timings: optional list; appends one
-        ``{"dispatch_s": ..., "finish_s": ...}`` dict per case (dispatch-
-        call wall vs fetch+host wall) for throughput diagnosis
+    :param window: max cases in flight across the three stages (3 keeps
+        every stage busy; each in-flight case holds its ~1 MB packed
+        outputs plus its input volume on device)
+    :param timings: optional list; appends one per-case dict
+        (``dispatch_s`` always; threaded mode adds ``fetch_s``/``host_s``,
+        the fallback ``finish_s``) for throughput diagnosis
+    :param pipeline_threads: run fetch and host stages on two worker
+        threads (default); False falls back to the single-threaded
+        window loop (dispatch-ahead only)
     :param kwargs: forwarded to segment_case (kp_mode, grid_res, ...)
     :return: list of CaseResult
     """
@@ -233,8 +247,55 @@ def segment_cases(volumes, masks, apply_fn, variables, rng, *,
 
     n = len(volumes)
     keys = np.asarray(_fold_in_batch(rng, n)) if n else None
+    dev_kw = {k: v for k, v in kwargs.items() if k not in host_only}
 
     results: list = [None] * n
+
+    def dispatch(i):
+        t0 = time.perf_counter()
+        out = _dispatch_case(jnp.asarray(volumes[i]), jnp.asarray(masks[i]),
+                             variables, jnp.asarray(keys[i]),
+                             apply_fn=apply_fn, **dev_kw)
+        return out, time.perf_counter() - t0
+
+    if pipeline_threads and n > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(1) as fetch_pool, \
+                ThreadPoolExecutor(1) as host_pool:
+
+            def fetch_job(disp):
+                t0 = time.perf_counter()
+                fetched = _fetch_case(disp)
+                return fetched, time.perf_counter() - t0
+
+            def host_job(i, fetch_fut, tm):
+                fetched, fetch_s = fetch_fut.result()
+                t0 = time.perf_counter()
+                res = _finish_case(fetched, volumes[i], masks[i], **kwargs)
+                if tm is not None:
+                    tm["fetch_s"] = fetch_s
+                    tm["host_s"] = time.perf_counter() - t0
+                return res
+
+            host_futs = [None] * n
+            tms = [({} if timings is not None else None)
+                   for _ in range(n)]
+            for i in range(n):
+                disp, d_s = dispatch(i)
+                if tms[i] is not None:
+                    tms[i]["dispatch_s"] = d_s
+                ffut = fetch_pool.submit(fetch_job, disp)
+                host_futs[i] = host_pool.submit(host_job, i, ffut, tms[i])
+                if i + 1 >= window:
+                    results[i + 1 - window] = host_futs[i + 1 - window] \
+                        .result()
+            for i in range(max(0, n - window + 1), n):
+                results[i] = host_futs[i].result()
+        if timings is not None:
+            timings.extend(tms)
+        return results
+
+    # single-threaded fallback: dispatch-ahead window only
     pending: list = []  # (index, device outputs, timing dict)
 
     def finish(idx, out, tm):
@@ -244,15 +305,11 @@ def segment_cases(volumes, masks, apply_fn, variables, rng, *,
             tm["finish_s"] = time.perf_counter() - t0
             timings.append(tm)
 
-    for i, (vol, mask) in enumerate(zip(volumes, masks)):
-        dev_kw = {k: v for k, v in kwargs.items() if k not in host_only}
+    for i in range(n):
         tm = {} if timings is not None else None
-        t0 = time.perf_counter()
-        out = _dispatch_case(jnp.asarray(vol), jnp.asarray(mask), variables,
-                             jnp.asarray(keys[i]), apply_fn=apply_fn,
-                             **dev_kw)
+        out, d_s = dispatch(i)
         if tm is not None:
-            tm["dispatch_s"] = time.perf_counter() - t0
+            tm["dispatch_s"] = d_s
         pending.append((i, out, tm))
         if len(pending) >= window:
             finish(*pending.pop(0))
@@ -288,6 +345,24 @@ def _dispatch_case(vol, mask, variables, rng, *, apply_fn,
         grid_res, num_fg_classes
 
 
+def _issue_async_copies(out):
+    """Pre-stage every output buffer's device->host transfer (no-op on
+    backends without copy_to_host_async or on numpy leaves)."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        try:
+            leaf.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            break
+
+
+def _fetch_case(dispatched):
+    """Blocking bulk fetch of a dispatched case (the I/O pipeline stage of
+    segment_cases' threaded mode); returns `dispatched` with numpy leaves."""
+    out, *meta = dispatched
+    _issue_async_copies(out)
+    return (jax.device_get(out), *meta)
+
+
 def _finish_case(dispatched, vol, mask, *, rights=None, center_x=None,
                  lung_mask_filter=None, mask_dilate_radius=1,
                  crop_to_bbox=True, make_labelmap=True, **_ignored):
@@ -301,6 +376,8 @@ def _finish_case(dispatched, vol, mask, *, rights=None, center_x=None,
     of class i. On the tunnel-attached bench chip this hides most of the
     ~50 ms packed fetch inside the ~60 ms host filter work; a host without
     async copies degrades gracefully to the plain blocking fetch order.
+    (`jax.device_get` is an identity on already-fetched numpy leaves, so
+    the same code is the host stage of segment_cases' threaded mode.)
     """
     out, kp_mode, max_kpts, grid_res, num_fg_classes = dispatched
     shape = (np.asarray(vol).shape[:-1]
@@ -312,11 +389,7 @@ def _finish_case(dispatched, vol, mask, *, rights=None, center_x=None,
 
     (kpts_q_d, valid_bits_d, pred_d, inside_bits_d, idx_d, vkey_d, vfrac_d,
      n_tris_d, n_verts_d) = out
-    for leaf in jax.tree_util.tree_leaves(out):
-        try:
-            leaf.copy_to_host_async()
-        except (AttributeError, NotImplementedError):
-            break
+    _issue_async_copies(out)
     kpts_q, valid_bits, pred, inside_bits, n_tris, n_verts = jax.device_get(
         (kpts_q_d, valid_bits_d, pred_d, inside_bits_d, n_tris_d, n_verts_d))
     valid = np.unpackbits(valid_bits, count=max_kpts).astype(bool)

@@ -37,14 +37,15 @@ END = "<!-- bench-sync:end -->"
 
 
 def newest_artifact() -> str:
-    """Newest bench artifact by round number; a same-round local run
-    (BENCH_r05_local.json, produced by `python bench.py` on the same chip
-    and protocol the driver uses) outranks the previous round's driver file."""
-    best, best_key = None, (-1, 0)
+    """Newest bench artifact by round number. A local run
+    (BENCH_r05_local.json — `python bench.py` on the same chip/protocol)
+    outranks the PREVIOUS round's driver file, but the driver's own
+    artifact for the same round outranks the local one (authoritative)."""
+    best, best_key = None, (-1, -1)
     for f in os.listdir(REPO):
         m = re.match(r"BENCH_r(\d+)(_local)?\.json$", f)
         if m:
-            key = (int(m.group(1)), 1 if m.group(2) else 0)
+            key = (int(m.group(1)), 0 if m.group(2) else 1)
             if key > best_key:
                 best, best_key = f, key
     if best is None:
@@ -71,10 +72,13 @@ def render(artifact: str) -> str:
         "**Headline numbers** (one TPU v5e chip, tunnel-attached; every",
         f"number in this block is machine-generated from `{artifact}`",
         "by `scripts/sync_readme_bench.py` — the same `bench.py` protocol",
-        "(warm-up + min-of-N) the round driver runs; `tests/test_readme_sync.py`",
-        "fails if this block and the artifact disagree. Reference numbers",
-        "from the reference's own pareto figure,",
-        "`performance_time_plot.py:31-34`, and `BASELINE.md`):",
+        "(warm-up, serving rows = median of 8 interleaved repeats) the",
+        "round driver runs; `tests/test_readme_sync.py` fails if this block",
+        "and the artifact disagree. Tunnel session-to-session variance is",
+        "~±10-15% on serving rows — when the driver's own `BENCH_rNN.json`",
+        "re-measurement lands, re-running the sync script replaces this",
+        "block with it. Reference numbers from the reference's own pareto",
+        "figure, `performance_time_plot.py:31-34`, and `BASELINE.md`):",
         "",
         "| Pipeline / metric | This repo | Reference (CUDA GPU) | speedup |",
         "|---|---|---|---|",

@@ -236,3 +236,27 @@ def test_segment_cases_pipelined_matches_sequential(case):
         for (t1, v1), (t2, v2) in zip(r.meshes, ref.meshes):
             np.testing.assert_array_equal(v1, v2)
             np.testing.assert_allclose(t1, t2, rtol=0, atol=0)
+
+
+def test_segment_cases_threaded_and_fallback_agree(case):
+    """The threaded 3-stage pipeline (default) and the single-threaded
+    window fallback must produce identical results — threading only
+    reorders waits, never computations."""
+    from fissure_segmentation_tpu.serving import segment_cases
+
+    img, mask, model, variables = case
+    rng = jax.random.PRNGKey(13)
+    vols = [img, img * 0.999]
+    tm: list = []
+    a = segment_cases(vols, [mask] * 2, model.apply, variables, rng,
+                      timings=tm, center_x=SHAPE[2] / 2, **CFG)
+    b = segment_cases(vols, [mask] * 2, model.apply, variables, rng,
+                      pipeline_threads=False, window=2,
+                      center_x=SHAPE[2] / 2, **CFG)
+    assert {"dispatch_s", "fetch_s", "host_s"} <= set(tm[0])
+    for ra, rb in zip(a, b):
+        np.testing.assert_array_equal(ra.kpts, rb.kpts)
+        np.testing.assert_array_equal(ra.labelmap, rb.labelmap)
+        for (t1, v1), (t2, v2) in zip(ra.meshes, rb.meshes):
+            np.testing.assert_array_equal(v1, v2)
+            np.testing.assert_array_equal(t1, t2)
