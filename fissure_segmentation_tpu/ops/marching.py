@@ -415,6 +415,18 @@ def marching_tetrahedra_batched(phis: jnp.ndarray, max_tris: int = 24000,
     if cell_masks is not None and cell_masks.shape != (bn, cz, cy, cx):
         raise ValueError(f"cell_masks shape {cell_masks.shape} != "
                          f"{(bn, cz, cy, cx)}")
+    # the flat-offset binary search below offsets row i's cumsum by
+    # i * (12*m + 1); the largest offset value must stay int32 (x64 is
+    # disabled) or p_flat silently stops being sorted and the op emits
+    # wrong geometry — refuse loudly instead
+    if bn * (12 * m + 1) + max_tris > 2 ** 31 - 1:
+        raise ValueError(
+            f"marching_tetrahedra_batched: batch {bn} x cell grid {m} "
+            "overflows the int32 flat-offset index space "
+            f"({bn * (12 * m + 1)} > 2^31-1); split the batch or use the "
+            "per-instance marching_tetrahedra (which models/dpsr_net.py "
+            "uses anyway — it also measures faster at large grids, see "
+            "PERF.md)")
     phi_ng = jax.lax.stop_gradient(phis)
 
     # pass 1: per-cell triangle counts (element-wise on shifted slices)

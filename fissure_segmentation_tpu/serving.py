@@ -246,7 +246,21 @@ def segment_cases(volumes, masks, apply_fn, variables, rng, *,
         raise TypeError(f"unknown kwargs: {sorted(bad)}")
 
     n = len(volumes)
-    keys = np.asarray(_fold_in_batch(rng, n)) if n else None
+    # one jitted fold_in for all per-case keys, then host-resident rows so
+    # per-case slicing costs no device round trip. New-style typed PRNG
+    # keys (jax.random.key) cannot round-trip through numpy directly —
+    # carry their raw uint32 key data and re-wrap per case.
+    if n:
+        keys_arr = _fold_in_batch(rng, n)
+        if jnp.issubdtype(keys_arr.dtype, jax.dtypes.prng_key):
+            impl = jax.random.key_impl(rng)
+            keys = np.asarray(jax.random.key_data(keys_arr))
+
+            def _case_key(row):
+                return jax.random.wrap_key_data(jnp.asarray(row), impl=impl)
+        else:
+            keys = np.asarray(keys_arr)
+            _case_key = jnp.asarray
     dev_kw = {k: v for k, v in kwargs.items() if k not in host_only}
 
     results: list = [None] * n
@@ -254,7 +268,7 @@ def segment_cases(volumes, masks, apply_fn, variables, rng, *,
     def dispatch(i):
         t0 = time.perf_counter()
         out = _dispatch_case(jnp.asarray(volumes[i]), jnp.asarray(masks[i]),
-                             variables, jnp.asarray(keys[i]),
+                             variables, _case_key(keys[i]),
                              apply_fn=apply_fn, **dev_kw)
         return out, time.perf_counter() - t0
 

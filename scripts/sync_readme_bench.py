@@ -72,8 +72,9 @@ def render(artifact: str) -> str:
         "**Headline numbers** (one TPU v5e chip, tunnel-attached; every",
         f"number in this block is machine-generated from `{artifact}`",
         "by `scripts/sync_readme_bench.py` — the same `bench.py` protocol",
-        "(warm-up, serving rows = median of 8 interleaved repeats) the",
-        "round driver runs; `tests/test_readme_sync.py` fails if this block",
+        "the round driver runs (warm-up then medians: 8 interleaved",
+        "repeats for the exact/fast Förstner rows, 6 repeats for the",
+        "Hessian and CNN rows); `tests/test_readme_sync.py` fails if this block",
         "and the artifact disagree. Tunnel session-to-session variance is",
         "~±10-15% on serving rows — when the driver's own `BENCH_rNN.json`",
         "re-measurement lands, re-running the sync script replaces this",

@@ -173,3 +173,12 @@ def test_marching_tetrahedra_batched_gradients_match():
         g1 = jax.grad(loss_1)(jnp.asarray(phis[i]))
         np.testing.assert_allclose(np.asarray(gb[i]), np.asarray(g1),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_marching_tetrahedra_batched_overflow_guard():
+    """The flat-offset search index space is int32; batch x grid products
+    beyond it must raise instead of silently emitting wrong geometry."""
+    with pytest.raises(ValueError, match="int32 flat-offset"):
+        from fissure_segmentation_tpu.ops.marching import \
+            marching_tetrahedra_batched
+        marching_tetrahedra_batched(jnp.zeros((12, 257, 257, 257)))

@@ -260,3 +260,19 @@ def test_segment_cases_threaded_and_fallback_agree(case):
         for (t1, v1), (t2, v2) in zip(ra.meshes, rb.meshes):
             np.testing.assert_array_equal(v1, v2)
             np.testing.assert_array_equal(t1, t2)
+
+
+def test_segment_cases_accepts_typed_prng_keys(case):
+    """New-style typed keys (jax.random.key) must work in segment_cases and
+    produce the same results as the equivalent legacy uint32 key — the key
+    batch round-trips through host memory (r5 code-review finding)."""
+    from fissure_segmentation_tpu.serving import segment_cases
+
+    img, mask, model, variables = case
+    a = segment_cases([img] * 2, [mask] * 2, model.apply, variables,
+                      jax.random.key(17), center_x=SHAPE[2] / 2, **CFG)
+    b = segment_cases([img] * 2, [mask] * 2, model.apply, variables,
+                      jax.random.PRNGKey(17), center_x=SHAPE[2] / 2, **CFG)
+    for ra, rb in zip(a, b):
+        np.testing.assert_array_equal(ra.kpts, rb.kpts)
+        np.testing.assert_array_equal(ra.labelmap, rb.labelmap)
