@@ -80,12 +80,13 @@ def soft_mesh_surface_samples(seg_logits: jnp.ndarray, coords: jnp.ndarray,
     psr = spectral_psr(v_rep, normals, tuple(res), dpsr_sigma,
                        scale=dpsr_scale, shift=dpsr_shift)  # (B*C', *res)
 
-    # per-instance extraction via lax.map: measured FASTER than the batched
-    # marching_tetrahedra_batched at these shapes (399 vs 717 ms for the
-    # 24 x 128^3 fwd+bwd block, scripts/prof/prof_mtb_parts.py r5 — the
-    # batched op is kept as a measured negative, PERF.md); the r5 wins here
-    # are the searchsorted compaction inside marching_tetrahedra and the
-    # inverse-CDF surface sampler
+    # per-instance extraction via lax.map — the measured BEST formulation
+    # at these shapes (r5, scripts/prof/prof_mtb_parts.py): fully-batched
+    # marching_tetrahedra_batched 717-734 ms, batched-phase-1 hybrid
+    # 533 ms, this all-in-map form 332 ms for the 24 x 128^3 f+b block —
+    # per instance everything fuses over a VMEM/cache-resident 8 MB field.
+    # The r5 wins wired here: single-searchsorted candidate location
+    # inside marching_tetrahedra and the inverse-CDF surface sampler.
     keys = jax.random.split(rng, b * c)
 
     def extract(args):

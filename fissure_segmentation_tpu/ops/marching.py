@@ -492,6 +492,100 @@ def marching_tetrahedra_batched(phis: jnp.ndarray, max_tris: int = 24000,
     return out, tvalid, n_tris
 
 
+@functools.partial(jax.jit, static_argnames=("max_tris", "iso"))
+def marching_tetrahedra_hybrid(phis: jnp.ndarray, max_tris: int = 24000,
+                               iso: float = 0.0,
+                               cell_masks: jnp.ndarray | None = None):
+    """Batched-phase-1 / mapped-phase-2 marching tetrahedra over
+    (B, D, H, W) fields: counting + per-row cumsum + ONE flat-offset
+    searchsorted locate every output triangle for ALL instances, then the
+    corner gathers / bit-rank / differentiable reconstruction run per
+    instance under lax.map.
+
+    **Measured NEGATIVE at the DPSRNet2 shapes (r5, PERF.md,
+    prof_mtb_parts.py): 533 ms f+b vs 332 ms for the plain per-instance
+    lax.map over `marching_tetrahedra` that models/dpsr_net.py ships.**
+    Hoisting the binary search out of the map does not pay: the batched
+    phase materializes the (B, cells) cumsum in HBM and searches it at
+    HBM speed, while the all-in-map form fuses counting/cumsum/search
+    over a cache-resident 8 MB field. Kept, tested (bit-parity incl.
+    gradients), as the measured record alongside
+    marching_tetrahedra_batched.
+
+    :return: (tris (B, max_tris, 3, 3), valid (B, max_tris), n_tris (B,))
+    """
+    bn, d, h, w = phis.shape
+    if min(d, h, w) < 2:
+        raise ValueError(f"marching_tetrahedra needs >= 2 samples per axis, "
+                         f"got {phis.shape}")
+    cz, cy, cx = d - 1, h - 1, w - 1
+    m = cz * cy * cx
+    if cell_masks is not None and cell_masks.shape != (bn, cz, cy, cx):
+        raise ValueError(f"cell_masks shape {cell_masks.shape} != "
+                         f"{(bn, cz, cy, cx)}")
+    if bn * (12 * m + 1) + max_tris > 2 ** 31 - 1:
+        raise ValueError(
+            f"marching_tetrahedra_hybrid: batch {bn} x cell grid {m} "
+            "overflows the int32 flat-offset index space; split the batch")
+    phi_ng = jax.lax.stop_gradient(phis)
+
+    # ---- phase 1: batched counting + cumsum + one flat binary search ----
+    ins = [(phi_ng[:, dz:dz + cz, dy:dy + cy, dx:dx + cx] < iso)
+           .astype(jnp.int32) for dz, dy, dx in _CORNERS]
+    counts = jnp.zeros((bn, cz, cy, cx), jnp.int32)
+    for t in range(6):
+        n_in = (ins[_TETS[t][0]] + ins[_TETS[t][1]]
+                + ins[_TETS[t][2]] + ins[_TETS[t][3]])
+        counts += ((n_in >= 1) & (n_in <= 3)).astype(jnp.int32) \
+            + (n_in == 2).astype(jnp.int32)
+    if cell_masks is not None:
+        counts *= cell_masks.astype(jnp.int32)
+    n_tris = counts.sum(axis=(1, 2, 3))
+    ccum = jnp.cumsum(counts.reshape(bn, m), axis=1)
+    slots1 = jnp.arange(1, max_tris + 1, dtype=jnp.int32)
+    stride1 = 12 * m + 1
+    base1 = jnp.arange(bn, dtype=jnp.int32)[:, None] * stride1
+    found = jnp.searchsorted((ccum + base1).reshape(-1),
+                             (slots1[None] + base1).reshape(-1),
+                             side="left").astype(jnp.int32)
+    col = found.reshape(bn, max_tris) - \
+        jnp.arange(bn, dtype=jnp.int32)[:, None] * m
+    cell_idx = jnp.clip(col, 0, m - 1)
+    prev_i = jnp.arange(bn, dtype=jnp.int32)[:, None] * m + \
+        jnp.maximum(cell_idx - 1, 0)
+    prev = jnp.where(cell_idx > 0, ccum.reshape(-1)[prev_i], 0)
+    r = slots1[None] - 1 - prev                               # (B, T)
+
+    # ---- phase 2: per-instance VMEM-resident gathers + reconstruction ----
+    def one(args):
+        phi_i, cell_i, r_i = args
+        x = cell_i % cx
+        y = (cell_i // cx) % cy
+        z = cell_i // (cx * cy)
+        co = jnp.asarray(_CORNERS, jnp.int32)
+        vals8 = jax.lax.stop_gradient(phi_i)[
+            z[:, None] + co[:, 0], y[:, None] + co[:, 1],
+            x[:, None] + co[:, 2]]
+        ins8 = (vals8 < iso).astype(jnp.int32)
+        bits = []
+        for t in range(6):
+            n_in = (ins8[:, _TETS[t][0]] + ins8[:, _TETS[t][1]]
+                    + ins8[:, _TETS[t][2]] + ins8[:, _TETS[t][3]])
+            bits.append((n_in >= 1) & (n_in <= 3))
+            bits.append(n_in == 2)
+        bits = jnp.stack(bits, axis=1)
+        brank = jnp.cumsum(bits.astype(jnp.int32), axis=1)
+        s = jnp.argmax((brank == (r_i + 1)[:, None]) & bits, axis=1)
+        idx_buf = cell_i * 12 + s.astype(jnp.int32)
+        return _gather_triangles(phi_i, idx_buf, iso, cy, cx)
+
+    out = jax.lax.map(one, (phis, cell_idx, r))
+    tvalid = jnp.arange(max_tris)[None] < \
+        jnp.minimum(n_tris, max_tris)[:, None]
+    out = jnp.where(tvalid[..., None, None], out, 0.0)
+    return out, tvalid, n_tris
+
+
 def triangles_to_mesh(tris: jnp.ndarray):
     """(T, 3, 3) triangle soup -> (verts (3T, 3), faces (T, 3))."""
     verts = tris.reshape(-1, 3)

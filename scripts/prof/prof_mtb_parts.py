@@ -219,3 +219,22 @@ if "b_fwd" in STAGES:
 if "map_fwd" in STAGES:
     log(f"map_fwd (lax.map MT fwd only){chained(body_map_fwd, phis)*1e3:8.1f} ms")
 log("DONE2")
+
+
+# ---- hybrid (batched phase-1, mapped phase-2) + CDF sampling ----
+def body_hyb_cdf(p_, i):
+    from fissure_segmentation_tpu.ops.marching import \
+        marching_tetrahedra_hybrid
+
+    def loss(p):
+        t, v, _ = marching_tetrahedra_hybrid(p, max_tris=MAX_TRIS)
+        pts = jax.vmap(lambda k, tr, vv: sample_points_on_triangles(
+            k, tr, vv, S))(keys, t, v)
+        return jnp.sum(pts)
+    l, g = jax.value_and_grad(loss)(p_)
+    return l + jnp.sum(g) * 1e-12
+
+
+if "hyb_cdf" in STAGES:
+    log(f"p_hyb_cdf       {chained(body_hyb_cdf, phis)*1e3:8.1f} ms")
+log("DONE3")

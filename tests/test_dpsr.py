@@ -182,3 +182,42 @@ def test_marching_tetrahedra_batched_overflow_guard():
         from fissure_segmentation_tpu.ops.marching import \
             marching_tetrahedra_batched
         marching_tetrahedra_batched(jnp.zeros((12, 257, 257, 257)))
+
+
+def test_marching_tetrahedra_hybrid_matches_per_instance():
+    """The hybrid (batched candidate location + mapped reconstruction)
+    must reproduce the per-instance extraction bit-for-bit, including
+    z-order truncation and gradients."""
+    from fissure_segmentation_tpu.ops.marching import (
+        marching_tetrahedra, marching_tetrahedra_hybrid)
+    rng = np.random.default_rng(5)
+    zz, yy, xx = np.meshgrid(np.arange(20.0), np.arange(18.0),
+                             np.arange(16.0), indexing="ij")
+    phis = np.stack([
+        (zz - (9.0 + 3 * np.sin(xx / 3.0 + c) + 2 * np.cos(yy / 2.5)))
+        for c in range(4)]).astype(np.float32)
+    phis += rng.normal(0, 0.05, phis.shape).astype(np.float32)
+    phis[3] = 1.0 + np.abs(phis[3])      # empty field
+    max_tris = 700                        # forces truncation on inst 0-2
+    bt, bv, bn = marching_tetrahedra_hybrid(jnp.asarray(phis),
+                                            max_tris=max_tris)
+    for i in range(4):
+        t, v, n = marching_tetrahedra(jnp.asarray(phis[i]),
+                                      max_tris=max_tris)
+        np.testing.assert_array_equal(np.asarray(bn[i]), np.asarray(n))
+        np.testing.assert_array_equal(np.asarray(bv[i]), np.asarray(v))
+        np.testing.assert_array_equal(np.asarray(bt[i]), np.asarray(t))
+
+    def loss_h(p):
+        t, v, _ = marching_tetrahedra_hybrid(p, max_tris=max_tris)
+        return jnp.sum(jnp.where(v[..., None, None], t, 0.0) ** 2)
+
+    def loss_1(p):
+        t, v, _ = marching_tetrahedra(p, max_tris=max_tris)
+        return jnp.sum(jnp.where(v[:, None, None], t, 0.0) ** 2)
+
+    gh = jax.grad(loss_h)(jnp.asarray(phis))
+    for i in range(4):
+        g1 = jax.grad(loss_1)(jnp.asarray(phis[i]))
+        np.testing.assert_allclose(np.asarray(gh[i]), np.asarray(g1),
+                                   rtol=1e-5, atol=1e-6)
