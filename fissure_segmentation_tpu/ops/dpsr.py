@@ -34,6 +34,22 @@ def spec_gaussian_filter(res, sig: float) -> np.ndarray:
     return np.exp(-0.5 * ((sig * 2.0 * dis / res[0]) ** 2)).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _psr_weights(res, sig: float) -> np.ndarray:
+    """Per-channel combined spectral weight W_d = g * (-i w_d) / lap with
+    the DC term zeroed — folds the Gaussian filter, the divergence factor
+    and the inverse negative Laplacian of the solve below into ONE complex
+    multiply per normal channel (algebraically identical to applying them
+    separately; saves two full passes over the (B, 3, *res) spectrum per
+    solve)."""
+    g = spec_gaussian_filter(res, sig)                        # (d0,d1,d2r)
+    omega = fftfreqs(res) * (2 * np.pi)                       # (d0,d1,d2r,3)
+    lap = -(omega ** 2).sum(-1)
+    w = (-1j * omega) * g[..., None] / (lap + 1e-6)[..., None]
+    w[0, 0, 0, :] = 0.0                                       # zero DC
+    return w.astype(np.complex64)
+
+
 @functools.partial(jax.jit, static_argnames=("res", "sig", "scale", "shift"))
 def spectral_psr(v: jnp.ndarray, normal_field: jnp.ndarray, res,
                  sig: float = 10.0, scale: bool = True, shift: bool = True,
@@ -49,16 +65,10 @@ def spectral_psr(v: jnp.ndarray, normal_field: jnp.ndarray, res,
         real surface points
     :return: (B, *res) indicator field phi (zero level-set = surface)
     """
-    g = jnp.asarray(spec_gaussian_filter(res, sig))          # (d0,d1,d2r)
-    omega = jnp.asarray(fftfreqs(res)) * (2 * jnp.pi)         # (d0,d1,d2r,3)
-
+    w = jnp.asarray(_psr_weights(tuple(res), float(sig)))     # (d0,d1,d2r,3)
     n_hat = jnp.fft.rfftn(normal_field, axes=(2, 3, 4))       # (B,3,d0,d1,d2r)
-    n_hat = n_hat * g[None, None]
-    # DivN = sum_d -i * N_d * omega_d
-    div_n = jnp.sum(-1j * n_hat * jnp.moveaxis(omega, -1, 0)[None], axis=1)
-    lap = -jnp.sum(omega ** 2, axis=-1)                       # (d0,d1,d2r)
-    phi_hat = div_n / (lap[None] + 1e-6)
-    phi_hat = phi_hat.at[:, 0, 0, 0].set(0.0)                 # zero DC
+    # phi_hat = DivN / -lap with Gaussian smoothing, all in one weighted sum
+    phi_hat = jnp.sum(n_hat * jnp.moveaxis(w, -1, 0)[None], axis=1)
     phi = jnp.fft.irfftn(phi_hat, s=res, axes=(1, 2, 3))
 
     if shift:
