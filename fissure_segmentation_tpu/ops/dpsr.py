@@ -65,10 +65,10 @@ def spectral_psr(v: jnp.ndarray, normal_field: jnp.ndarray, res,
         real surface points
     :return: (B, *res) indicator field phi (zero level-set = surface)
     """
-    w = jnp.asarray(_psr_weights(tuple(res), float(sig)))     # (d0,d1,d2r,3)
+    psr_w = jnp.asarray(_psr_weights(tuple(res), float(sig)))  # (d0,d1,d2r,3)
     n_hat = jnp.fft.rfftn(normal_field, axes=(2, 3, 4))       # (B,3,d0,d1,d2r)
     # phi_hat = DivN / -lap with Gaussian smoothing, all in one weighted sum
-    phi_hat = jnp.sum(n_hat * jnp.moveaxis(w, -1, 0)[None], axis=1)
+    phi_hat = jnp.sum(n_hat * jnp.moveaxis(psr_w, -1, 0)[None], axis=1)
     phi = jnp.fft.irfftn(phi_hat, s=res, axes=(1, 2, 3))
 
     if shift:

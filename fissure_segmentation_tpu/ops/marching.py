@@ -125,20 +125,22 @@ def marching_tetrahedra(phi: jnp.ndarray, max_tris: int = 200_000,
                         cell_mask: jnp.ndarray | None = None):
     """Extract the iso-surface of a (D, H, W) scalar field.
 
-    Candidate selection is count-then-emit (no scan): one element-wise pass
-    over all cells computes per-cell triangle counts, active CELLS (every
-    active cell emits >= 1 triangle, so only the z-order-first max_tris of
-    them can matter) are compacted by a single cumsum+scatter, and the <= 12
-    per-cell tet/slot candidates of the selected cells are expanded and
-    compacted once more — exactly the first max_tris candidates in z-order,
-    bit-identical to the former slab-scan formulation but with no sequential
-    lax.scan dependency (the 8-step scan with a batched scatter per step
-    cost ~64 ms for the serving path's 3-class 64^3 extraction; this form
-    is ~3 ms/class, scripts/prof/prof_mt_variants.py). `slab_size` is
-    ignored (kept for call compatibility). Everything before the final
-    reconstruction is integer/stop_gradient work, so reverse-mode memory
-    stays O(cell bitmask)+O(max_tris) — gradients flow only through the
-    final O(max_tris) gather-reconstruction of the surviving candidates.
+    Candidate selection is count-then-emit (no scan, no scatter): one
+    element-wise pass computes per-cell triangle counts, and each output
+    slot's candidate is located DIRECTLY from the inclusive count cumsum —
+    one searchsorted finds the cell, a 12-lane bit-rank picks the tet/slot
+    — emitting exactly the first max_tris candidates in (cell z-order,
+    tet, slot) order (pinned against an independent numpy oracle,
+    tests/test_dpsr.py). Earlier formulations are measured history: the
+    slab lax.scan cost ~64 ms for the serving 3-class 64^3 extraction, the
+    r4 cumsum+scatter compaction ~3 ms/class, and the scatter itself
+    (~10 ms per million source cells) dominated at 128^3 until the r5
+    searchsorted form (PERF.md, scripts/prof/prof_mtb_parts.py).
+    `slab_size` is ignored (kept for call compatibility). Everything
+    before the final reconstruction is integer/stop_gradient work, so
+    reverse-mode memory stays O(cell bitmask)+O(max_tris) — gradients flow
+    only through the final O(max_tris) gather-reconstruction of the
+    surviving candidates.
 
     :param cell_mask: optional (D-1, H-1, W-1) bool — cells allowed to emit
         triangles. The fixed budget is z-order truncated, so when the iso
@@ -262,6 +264,40 @@ def marching_tetrahedra_packed(phi: jnp.ndarray, max_tris: int = 24000,
     return idx, vkey, vfrac_q, jnp.minimum(n_tris, max_tris), n_verts
 
 
+def _cell_tri_counts(phi_ng, iso, cell_dims):
+    """Per-cell triangle counts from shifted corner slices (no gather).
+    `phi_ng` may carry leading batch dims; returns (..., cz, cy, cx)."""
+    cz, cy, cx = cell_dims
+    ins = [(phi_ng[..., dz:dz + cz, dy:dy + cy, dx:dx + cx] < iso)
+           .astype(jnp.int32) for dz, dy, dx in _CORNERS]
+    counts = jnp.zeros(phi_ng.shape[:-3] + (cz, cy, cx), jnp.int32)
+    for t in range(6):
+        n_in = (ins[_TETS[t][0]] + ins[_TETS[t][1]]
+                + ins[_TETS[t][2]] + ins[_TETS[t][3]])
+        counts += ((n_in >= 1) & (n_in <= 3)).astype(jnp.int32) \
+            + (n_in == 2).astype(jnp.int32)
+    return counts
+
+
+def _tet_slot_bits(ins8):
+    """(..., 8) corner inside-flags -> (..., 12) tet/slot emission flags in
+    candidate order (tet-major, then slot)."""
+    bits = []
+    for t in range(6):
+        n_in = (ins8[..., _TETS[t][0]] + ins8[..., _TETS[t][1]]
+                + ins8[..., _TETS[t][2]] + ins8[..., _TETS[t][3]])
+        bits.append((n_in >= 1) & (n_in <= 3))
+        bits.append(n_in == 2)
+    return jnp.stack(bits, axis=-1)
+
+
+def _rank_to_slot(bits, r):
+    """Index of the (r+1)-th set flag along the last axis (12-lane
+    prefix-sum + first-hit argmax)."""
+    brank = jnp.cumsum(bits.astype(jnp.int32), axis=-1)
+    return jnp.argmax((brank == (r + 1)[..., None]) & bits, axis=-1)
+
+
 def _marching_candidates(phi, max_tris, iso, cell_mask):
     """Count-then-emit candidate selection of marching_tetrahedra; returns
     (tvalid, n_tris, idx_buf, phi). See the marching_tetrahedra docstring.
@@ -283,14 +319,7 @@ def _marching_candidates(phi, max_tris, iso, cell_mask):
 
     # pass 1: per-cell triangle counts (pure element-wise; corner values are
     # shifted slices, no gather)
-    ins = [(phi_ng[dz:dz + cz, dy:dy + cy, dx:dx + cx] < iso).astype(jnp.int32)
-           for dz, dy, dx in _CORNERS]
-    counts = jnp.zeros((cz, cy, cx), jnp.int32)
-    for t in range(6):
-        n_in = (ins[_TETS[t][0]] + ins[_TETS[t][1]]
-                + ins[_TETS[t][2]] + ins[_TETS[t][3]])
-        counts += ((n_in >= 1) & (n_in <= 3)).astype(jnp.int32) \
-            + (n_in == 2).astype(jnp.int32)
+    counts = _cell_tri_counts(phi_ng, iso, (cz, cy, cx))
     if cell_mask is not None:
         counts *= cell_mask.astype(jnp.int32)
     n_tris = counts.sum()
@@ -319,16 +348,8 @@ def _marching_candidates(phi, max_tris, iso, cell_mask):
     co = jnp.asarray(_CORNERS, jnp.int32)
     vals8 = phi_ng[z[:, None] + co[:, 0], y[:, None] + co[:, 1],
                    x[:, None] + co[:, 2]]                   # (max_tris, 8)
-    ins8 = (vals8 < iso).astype(jnp.int32)
-    bits = []
-    for t in range(6):
-        n_in = (ins8[:, _TETS[t][0]] + ins8[:, _TETS[t][1]]
-                + ins8[:, _TETS[t][2]] + ins8[:, _TETS[t][3]])
-        bits.append((n_in >= 1) & (n_in <= 3))
-        bits.append(n_in == 2)
-    bits = jnp.stack(bits, axis=1)                       # (max_tris, 12)
-    brank = jnp.cumsum(bits.astype(jnp.int32), axis=1)
-    s = jnp.argmax((brank == (r + 1)[:, None]) & bits, axis=1)
+    bits = _tet_slot_bits((vals8 < iso).astype(jnp.int32))  # (max_tris, 12)
+    s = _rank_to_slot(bits, r)
     tvalid = jnp.arange(max_tris) < jnp.minimum(n_tris, max_tris)
     idx_buf = jnp.where(tvalid,
                         cell_idx * 12 + s.astype(jnp.int32), 0)
@@ -423,21 +444,14 @@ def marching_tetrahedra_batched(phis: jnp.ndarray, max_tris: int = 24000,
         raise ValueError(
             f"marching_tetrahedra_batched: batch {bn} x cell grid {m} "
             "overflows the int32 flat-offset index space "
-            f"({bn * (12 * m + 1)} > 2^31-1); split the batch or use the "
+            f"({bn * (12 * m + 1) + max_tris} > 2^31-1); split the batch or use the "
             "per-instance marching_tetrahedra (which models/dpsr_net.py "
             "uses anyway — it also measures faster at large grids, see "
             "PERF.md)")
     phi_ng = jax.lax.stop_gradient(phis)
 
     # pass 1: per-cell triangle counts (element-wise on shifted slices)
-    ins = [(phi_ng[:, dz:dz + cz, dy:dy + cy, dx:dx + cx] < iso)
-           .astype(jnp.int32) for dz, dy, dx in _CORNERS]
-    counts = jnp.zeros((bn, cz, cy, cx), jnp.int32)
-    for t in range(6):
-        n_in = (ins[_TETS[t][0]] + ins[_TETS[t][1]]
-                + ins[_TETS[t][2]] + ins[_TETS[t][3]])
-        counts += ((n_in >= 1) & (n_in <= 3)).astype(jnp.int32) \
-            + (n_in == 2).astype(jnp.int32)
+    counts = _cell_tri_counts(phi_ng, iso, (cz, cy, cx))
     if cell_masks is not None:
         counts *= cell_masks.astype(jnp.int32)
     n_tris = counts.sum(axis=(1, 2, 3))                        # (B,)
@@ -473,16 +487,8 @@ def marching_tetrahedra_batched(phis: jnp.ndarray, max_tris: int = 24000,
     fidx = ((inst * d + z[..., None] + co[:, 0]) * h
             + y[..., None] + co[:, 1]) * w + x[..., None] + co[:, 2]
     vals8 = phi_ng.reshape(-1)[fidx]                           # (B, T, 8)
-    ins8 = (vals8 < iso).astype(jnp.int32)
-    bits = []
-    for t in range(6):
-        n_in = (ins8[..., _TETS[t][0]] + ins8[..., _TETS[t][1]]
-                + ins8[..., _TETS[t][2]] + ins8[..., _TETS[t][3]])
-        bits.append((n_in >= 1) & (n_in <= 3))
-        bits.append(n_in == 2)
-    bits = jnp.stack(bits, axis=2)                         # (B, T, 12)
-    brank = jnp.cumsum(bits.astype(jnp.int32), axis=2)
-    s = jnp.argmax((brank == (r + 1)[..., None]) & bits, axis=2)
+    bits = _tet_slot_bits((vals8 < iso).astype(jnp.int32))  # (B, T, 12)
+    s = _rank_to_slot(bits, r)
     tvalid = jnp.arange(max_tris)[None] < \
         jnp.minimum(n_tris, max_tris)[:, None]
     idx_buf = jnp.where(tvalid, cell_idx * 12 + s.astype(jnp.int32), 0)
@@ -530,14 +536,7 @@ def marching_tetrahedra_hybrid(phis: jnp.ndarray, max_tris: int = 24000,
     phi_ng = jax.lax.stop_gradient(phis)
 
     # ---- phase 1: batched counting + cumsum + one flat binary search ----
-    ins = [(phi_ng[:, dz:dz + cz, dy:dy + cy, dx:dx + cx] < iso)
-           .astype(jnp.int32) for dz, dy, dx in _CORNERS]
-    counts = jnp.zeros((bn, cz, cy, cx), jnp.int32)
-    for t in range(6):
-        n_in = (ins[_TETS[t][0]] + ins[_TETS[t][1]]
-                + ins[_TETS[t][2]] + ins[_TETS[t][3]])
-        counts += ((n_in >= 1) & (n_in <= 3)).astype(jnp.int32) \
-            + (n_in == 2).astype(jnp.int32)
+    counts = _cell_tri_counts(phi_ng, iso, (cz, cy, cx))
     if cell_masks is not None:
         counts *= cell_masks.astype(jnp.int32)
     n_tris = counts.sum(axis=(1, 2, 3))
@@ -566,16 +565,8 @@ def marching_tetrahedra_hybrid(phis: jnp.ndarray, max_tris: int = 24000,
         vals8 = jax.lax.stop_gradient(phi_i)[
             z[:, None] + co[:, 0], y[:, None] + co[:, 1],
             x[:, None] + co[:, 2]]
-        ins8 = (vals8 < iso).astype(jnp.int32)
-        bits = []
-        for t in range(6):
-            n_in = (ins8[:, _TETS[t][0]] + ins8[:, _TETS[t][1]]
-                    + ins8[:, _TETS[t][2]] + ins8[:, _TETS[t][3]])
-            bits.append((n_in >= 1) & (n_in <= 3))
-            bits.append(n_in == 2)
-        bits = jnp.stack(bits, axis=1)
-        brank = jnp.cumsum(bits.astype(jnp.int32), axis=1)
-        s = jnp.argmax((brank == (r_i + 1)[:, None]) & bits, axis=1)
+        bits = _tet_slot_bits((vals8 < iso).astype(jnp.int32))
+        s = _rank_to_slot(bits, r_i)
         idx_buf = cell_i * 12 + s.astype(jnp.int32)
         return _gather_triangles(phi_i, idx_buf, iso, cy, cx)
 

@@ -178,10 +178,14 @@ def test_marching_tetrahedra_batched_gradients_match():
 def test_marching_tetrahedra_batched_overflow_guard():
     """The flat-offset search index space is int32; batch x grid products
     beyond it must raise instead of silently emitting wrong geometry."""
+    from fissure_segmentation_tpu.ops.marching import \
+        marching_tetrahedra_batched
     with pytest.raises(ValueError, match="int32 flat-offset"):
-        from fissure_segmentation_tpu.ops.marching import \
-            marching_tetrahedra_batched
-        marching_tetrahedra_batched(jnp.zeros((12, 257, 257, 257)))
+        # eval_shape: trigger the trace-time guard without allocating the
+        # ~814 MB operand
+        jax.eval_shape(marching_tetrahedra_batched,
+                       jax.ShapeDtypeStruct((12, 257, 257, 257),
+                                            jnp.float32))
 
 
 def test_marching_tetrahedra_hybrid_matches_per_instance():
@@ -221,3 +225,42 @@ def test_marching_tetrahedra_hybrid_matches_per_instance():
         g1 = jax.grad(loss_1)(jnp.asarray(phis[i]))
         np.testing.assert_allclose(np.asarray(gh[i]), np.asarray(g1),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_marching_candidate_sequence_matches_numpy_oracle():
+    """The searchsorted-based candidate selection must emit exactly the
+    first max_tris triangle candidates in (cell z-order, tet, slot) order.
+    This oracle recomputes that sequence independently in numpy from the
+    tet tables (no cumsum/searchsorted), so a rank-mapping bug in the
+    device formulation cannot self-confirm."""
+    from fissure_segmentation_tpu.ops.marching import (
+        _CORNERS, _TETS, _marching_candidates)
+    rng = np.random.default_rng(9)
+    phi = rng.normal(0, 1, (12, 11, 10)).astype(np.float32)
+    max_tris = 400  # below the expected count -> truncation exercised
+
+    # oracle: enumerate candidates cell-by-cell in z-order
+    cz, cy, cx = 11, 10, 9
+    gids = []
+    for z in range(cz):
+        for y in range(cy):
+            for x in range(cx):
+                ins = [phi[z + dz, y + dy, x + dx] < 0.0
+                       for dz, dy, dx in _CORNERS]
+                cell = (z * cy + y) * cx + x
+                for t in range(6):
+                    n_in = sum(int(ins[c]) for c in _TETS[t])
+                    if 1 <= n_in <= 3:
+                        gids.append(cell * 12 + t * 2)
+                    if n_in == 2:
+                        gids.append(cell * 12 + t * 2 + 1)
+    total = len(gids)
+    assert total > max_tris  # truncation is actually exercised
+
+    tvalid, n_tris, idx_buf, _ = _marching_candidates(
+        jnp.asarray(phi), max_tris, 0.0, None)
+    assert int(n_tris) == total
+    np.testing.assert_array_equal(np.asarray(tvalid),
+                                  np.arange(max_tris) < total)
+    np.testing.assert_array_equal(np.asarray(idx_buf),
+                                  np.asarray(gids[:max_tris]))
