@@ -483,6 +483,26 @@ def main():
         if vals:
             train_metrics[f"pipelined_{key[:-2]}_ms_median"] = round(
                 1e3 * median(vals), 1)
+
+    # fast-variant batch serving: the same 3-stage pipeline on the
+    # bf16/knn_recall model + approx detector (executable already compiled
+    # by the interleaved serving rows above, so this costs only the runs)
+    segment_cases([dimg] * 2, [dmask] * 2, biased_apply_fast, variables,
+                  jax.random.PRNGKey(5), center_x=SHAPE[2] / 2,
+                  approx_top_k=True)
+    fast_means = []
+    for rep in range(2):
+        t0 = time.perf_counter()
+        pipe_res = segment_cases([dimg] * NPIPE, [dmask] * NPIPE,
+                                 biased_apply_fast, variables,
+                                 jax.random.PRNGKey(6 + rep),
+                                 center_x=SHAPE[2] / 2, approx_top_k=True)
+        fast_means.append((time.perf_counter() - t0) / NPIPE)
+        assert all(r.labelmap.any() for r in pipe_res)
+    train_metrics["serving_pipelined_fast_s_per_case"] = round(
+        min(fast_means), 4)
+    train_metrics["serving_pipelined_fast_cases_per_sec"] = round(
+        1 / min(fast_means), 2)
     train_metrics["serving_exact_min_s"] = round(min(t_exact), 4)
     train_metrics["fused_fast_min_s"] = round(min(t_fast), 4)
     train_metrics["hessian_min_s"] = round(min(hessian_times), 4)

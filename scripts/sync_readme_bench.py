@@ -118,12 +118,17 @@ def render(artifact: str) -> str:
             " the same artifact); `bench.py` reports it as"
             " `fused_fast_s_per_case`.")
     if pipe is not None:
+        fast_pipe = d.get("serving_pipelined_fast_s_per_case")
+        fast_note = ("" if fast_pipe is None else
+                     f" (fast variant: {fast_pipe:.3f} s/case ="
+                     f" {d['serving_pipelined_fast_cases_per_sec']:.2f}"
+                     " cases/s)")
         para.append(
             "For batch workloads, `serving.segment_cases` overlaps case"
             " i's packed fetch + host filtering with case i+1's device"
             f" compute and measures **{pipe:.3f} s/case ="
-            f" {pipe_rate:.2f} cases/s** on the exact configuration —"
-            " the reference's test loop is strictly serial.")
+            f" {pipe_rate:.2f} cases/s** on the exact configuration"
+            f"{fast_note} — the reference's test loop is strictly serial.")
     para.append(
         "`PERF.md` holds the per-stage decompositions behind every row and"
         " the measurement methodology (chained scans, tunnel RTT"
