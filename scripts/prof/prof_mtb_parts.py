@@ -238,3 +238,21 @@ def body_hyb_cdf(p_, i):
 if "hyb_cdf" in STAGES:
     log(f"p_hyb_cdf       {chained(body_hyb_cdf, phis)*1e3:8.1f} ms")
 log("DONE3")
+
+
+# ---- split of the current per-instance map: candidates-only vs full ----
+def body_map_cand(p_, i):
+    from fissure_segmentation_tpu.ops.marching import _marching_candidates
+
+    def one(phi):
+        tvalid, n_tris, idx_buf, _ = _marching_candidates(
+            phi, MAX_TRIS, 0.0, None)
+        return jnp.sum(idx_buf) + n_tris
+    return jnp.sum(jax.lax.map(one, p_)).astype(jnp.float32)
+
+
+if "map_cand" in STAGES:
+    log(f"map_cand (candidates only, fwd) {chained(body_map_cand, phis)*1e3:8.1f} ms")
+if "map_nosample2" in STAGES:
+    log(f"map_nosample2 (current code f+b){chained(body_map_nosample, phis)*1e3:8.1f} ms")
+log("DONE4")
